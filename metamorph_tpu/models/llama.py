@@ -1,0 +1,250 @@
+"""LLaMA-3 decoder as pure functions over a param pytree.
+
+TPU-first re-design of the backbone the reference gets from HF `LlamaModel`
+(`metamorph/model/language_model/metamorph_llama.py:133-137` riding on
+transformers). Differences from a port:
+
+  * layer params are stacked on a leading L axis and the block loop is a
+    `lax.scan` — one traced block, fast XLA compiles, clean remat;
+  * attention dispatches to a Pallas flash kernel for long sequences;
+  * KV-cache decode is a first-class single-token step (the reference decodes
+    with use_cache=False, recomputing the full prefix every token —
+    `metamorph_llama.py:510`).
+
+Weight layout matches HF LLaMA such that `hf_import.py` is a pure transpose.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metamorph_tpu.config import LlamaConfig
+from metamorph_tpu.ops.attention import attention, dot_product_attention, NEG_INF
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig, dtype=jnp.bfloat16) -> Params:
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    H, KV, Dh, L = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.num_layers
+    k = jax.random.split(rng, 8)
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) * (fan_in ** -0.5)).astype(dtype)
+
+    params = {
+        "embed": {"embedding": dense(k[0], (cfg.vocab_size, D), D)},
+        "layers": {
+            "attn": {
+                "wq": dense(k[1], (L, D, H * Dh), D),
+                "wk": dense(k[2], (L, D, KV * Dh), D),
+                "wv": dense(k[3], (L, D, KV * Dh), D),
+                "wo": dense(k[4], (L, H * Dh, D), H * Dh),
+            },
+            "mlp": {
+                "w_gate": dense(k[5], (L, D, F), D),
+                "w_up": dense(k[6], (L, D, F), D),
+                "w_down": dense(k[7], (L, F, D), F),
+            },
+            "input_norm": {"scale": jnp.ones((L, D), dtype)},
+            "post_attn_norm": {"scale": jnp.ones((L, D), dtype)},
+        },
+        "final_norm": {"scale": jnp.ones((D,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = {"kernel": dense(k[0], (D, cfg.vocab_size), D)}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x * scale.astype(jnp.float32)).astype(dtype)
+
+
+def _rope_scaled_freqs(cfg: LlamaConfig) -> jnp.ndarray:
+    """Inverse frequencies with the LLaMA-3.1 NTK-by-parts scaling."""
+    dim = cfg.head_dim
+    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    if not cfg.rope_scaling:
+        return inv_freq
+    low_wavelen = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+    high_wavelen = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+    wavelen = 2.0 * jnp.pi / inv_freq
+    scaled = inv_freq / cfg.rope_scaling_factor
+    smooth = (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor) / (
+        cfg.rope_high_freq_factor - cfg.rope_low_freq_factor
+    )
+    mid = (1.0 - smooth) * scaled + smooth * inv_freq
+    out = jnp.where(wavelen > low_wavelen, scaled, jnp.where(wavelen < high_wavelen, inv_freq, mid))
+    return out
+
+
+def rope_tables(cfg: LlamaConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables [..., T, Dh/2] for given integer positions [..., T]."""
+    inv_freq = _rope_scaled_freqs(cfg)
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, Dh/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh/2]. HF 'half-rotate' convention."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
+                cache_kv=None, cache_idx=None):
+    """Self-attention for one layer. Returns (out, (k,v)) — k/v for cache writes."""
+    B, T, D = x.shape
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = (x @ layer["wq"]).reshape(B, T, H, Dh)
+    k = (x @ layer["wk"]).reshape(B, T, KV, Dh)
+    v = (x @ layer["wv"]).reshape(B, T, KV, Dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        # decode: append to cache then attend over the full cache
+        ck, cv = cache_kv  # [B, S, KV, Dh]
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_idx, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_idx, axis=1)
+        S = ck.shape[1]
+        key_pos = jnp.arange(S)[None, None, None, :]
+        dec_mask = key_pos <= (cache_idx + T - 1)  # [1,1,1,S]
+        out = dot_product_attention(q, ck, cv, mask=jnp.broadcast_to(dec_mask, (B, 1, T, S)))
+        new_kv = (ck, cv)
+    else:
+        out = attention(q, k, v, mask=mask, impl=attn_impl)
+        new_kv = (k, v)
+    out = out.reshape(B, T, H * Dh)
+    return out @ layer["wo"], new_kv
+
+
+def _mlp_block(layer: Params, x):
+    gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
+    up = x @ layer["w_up"]
+    return (gate * up) @ layer["w_down"]
+
+
+def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, mask,
+                   cache_kv=None, cache_idx=None):
+    attn_p, mlp_p = layer_params["attn"], layer_params["mlp"]
+    h = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
+    attn_out, new_kv = _attn_block(attn_p, cfg, h, cos, sin, mask, attn_impl,
+                                   cache_kv, cache_idx)
+    x = x + attn_out
+    h = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+    x = x + _mlp_block(mlp_p, h)
+    return x, new_kv
+
+
+# ---------------------------------------------------------------------------
+# forward (training / prefill)
+# ---------------------------------------------------------------------------
+
+def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed"]["embedding"], ids, axis=0)
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    inputs_embeds: jnp.ndarray,          # [B, T, D]
+    positions: jnp.ndarray,              # [B, T] int32
+    attn_mask: jnp.ndarray,              # [B, T] 1 = valid
+    attn_impl: str = "xla",
+    remat: bool = False,
+    return_cache: bool = False,
+):
+    """Full-sequence forward. Returns final-norm hidden states [B, T, D]
+    (and per-layer stacked (k, v) when return_cache, for decode prefill)."""
+    cos, sin = rope_tables(cfg, positions)
+    from metamorph_tpu.ops.attention import make_causal_mask
+
+    mask = make_causal_mask(attn_mask) if attn_impl == "xla" else None
+
+    def body(x, layer_params):
+        out, kv = _decoder_layer(cfg, attn_impl, x, layer_params, cos, sin, mask)
+        return out, (kv if return_cache else None)
+
+    if remat:
+        body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
+
+    x, kvs = jax.lax.scan(body, inputs_embeds, params["layers"])
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    if return_cache:
+        return x, kvs  # kvs: tuple of stacked [L, B, T, KV, Dh]
+    return x
+
+
+def lm_head(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        w = params["embed"]["embedding"].T
+    else:
+        w = params["lm_head"]["kernel"]
+    return (hidden @ w).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    L, KV, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    shape = (L, batch, max_len, KV, Dh)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(params, cfg: LlamaConfig, inputs_embeds, positions, attn_mask,
+            cache, attn_impl: str = "xla"):
+    """Run the prompt through the model, filling cache[:, :, :T]. Returns
+    (hidden [B,T,D], cache)."""
+    T = inputs_embeds.shape[1]
+    hidden, (ks, vs) = llama_forward(
+        params, cfg, inputs_embeds, positions, attn_mask,
+        attn_impl=attn_impl, return_cache=True)
+    cache = {
+        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], ks.astype(cache["k"].dtype), 0, axis=2),
+        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], vs.astype(cache["v"].dtype), 0, axis=2),
+    }
+    return hidden, cache
+
+
+def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
+                cache, cache_idx: jnp.ndarray):
+    """One-token step. x: [B, 1, D]; pos: [B, 1]; cache_idx: scalar int
+    (number of tokens already in cache). Returns (hidden [B,1,D], cache)."""
+    cos, sin = rope_tables(cfg, pos)
+
+    def body(carry, inputs):
+        x = carry
+        layer_params, ck, cv = inputs
+        out, (nk, nv) = _decoder_layer(
+            cfg, "xla", x, layer_params, cos, sin, None,
+            cache_kv=(ck, cv), cache_idx=cache_idx)
+        return out, (nk, nv)
+
+    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    return x, {"k": nk, "v": nv}

@@ -1,0 +1,162 @@
+"""The unified understand-and-generate model (MetaMorph) — TPU-native.
+
+Pure-functional equivalent of `MetaMorphLlamaForCausalLM`
+(`metamorph/model/language_model/metamorph_llama.py:223-660`) +
+`MetaMorphMetaForCausalLM.prepare_inputs_labels_for_multimodal`
+(`metamorph/model/metamorph_arch.py:131-425`), with the dynamic splice replaced
+by the static gather plan from `multimodal/packing.py`.
+
+Loss semantics (parity with `llm_forward`, `metamorph_llama.py:285-498`):
+  * text CE on shifted labels, mean over non-IGNORE positions;
+  * image-AR loss on answer-image positions only, teacher-forced (hidden at t-1
+    predicts image token t), pred = vision_head(hidden) [+ L2-normalize or
+    softmax/0.07], target = detached vision-tower features;
+  * total = CE + vision_coef * AR  (AR term contributes 0 when the batch has no
+    answer-image tokens — the reference would NaN there, we use a guarded mean).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metamorph_tpu.config import MetaMorphConfig
+from metamorph_tpu.constants import IGNORE_INDEX, SIGLIP_HIDDEN
+from metamorph_tpu.models import llama as llama_lib
+from metamorph_tpu.models import siglip as siglip_lib
+from metamorph_tpu.models import projector as proj_lib
+
+Params = Dict[str, Any]
+
+
+def init_metamorph_params(rng: jax.Array, cfg: MetaMorphConfig,
+                          dtype=jnp.bfloat16) -> Params:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    d_vis = cfg.siglip.hidden_size
+    if cfg.mm.image_token_reduction == "concat_interpolation":
+        d_vis *= 4
+    return {
+        "llama": llama_lib.init_llama_params(k1, cfg.llama, dtype),
+        "siglip": siglip_lib.init_siglip_params(k2, cfg.siglip, dtype),
+        "projector": proj_lib.init_projector(
+            k3, cfg.mm.projector_type, d_vis, cfg.llama.hidden_size, dtype),
+        "vision_head": proj_lib.init_vision_head(
+            k4, cfg.mm.vision_head_type, cfg.llama.hidden_size,
+            cfg.siglip.hidden_size, dtype),
+    }
+
+
+def _proj_acts(cfg: MetaMorphConfig):
+    d_vis = cfg.siglip.hidden_size
+    if cfg.mm.image_token_reduction == "concat_interpolation":
+        d_vis *= 4
+    _, acts = proj_lib.projector_spec(
+        cfg.mm.projector_type, d_vis, cfg.llama.hidden_size, cfg.llama.hidden_size)
+    return acts
+
+
+def _head_acts(cfg: MetaMorphConfig):
+    _, acts = proj_lib.head_spec(
+        cfg.mm.vision_head_type, cfg.llama.hidden_size, cfg.siglip.hidden_size)
+    return acts
+
+
+def encode_images(params: Params, cfg: MetaMorphConfig, pixels: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """pixels [N,H,W,3] -> (projected [N,K,D_llm] w/ grad to projector,
+    targets [N,K,D_vis] detached) — parity with `encode_images`
+    (`metamorph_arch.py:140-164`)."""
+    feats = siglip_lib.vision_tower_forward(
+        params["siglip"], cfg.siglip, cfg.mm, pixels)
+    projected = proj_lib.apply_stack(params["projector"], _proj_acts(cfg), feats)
+    targets = jax.lax.stop_gradient(feats)
+    return projected, targets
+
+
+def apply_vision_head(params: Params, cfg: MetaMorphConfig, h: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """hidden -> predicted visual embedding (1152-d), with the configured
+    normalization (`metamorph_llama.py:425-438`)."""
+    pred = proj_lib.apply_stack(params["vision_head"], _head_acts(cfg), h)
+    if cfg.mm.normalize_vision:
+        f32 = pred.astype(jnp.float32)
+        pred = f32 / jnp.maximum(jnp.linalg.norm(f32, axis=-1, keepdims=True), 1e-12)
+    elif cfg.mm.apply_softmax:
+        pred = jax.nn.softmax(pred.astype(jnp.float32) / 0.07, axis=-1)
+    else:
+        pred = pred.astype(jnp.float32)
+    return pred
+
+
+def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
+                    projected: jnp.ndarray) -> jnp.ndarray:
+    """Scatter projected image tokens into the text embedding table output —
+    the static equivalent of the reference splice loop."""
+    text_emb = llama_lib.embed_tokens(params["llama"], batch["tokens"])
+    N, K, D = projected.shape
+    img_flat = jnp.concatenate(
+        [projected.reshape(N * K, D), jnp.zeros((1, D), projected.dtype)], axis=0)
+    gathered = jnp.take(img_flat, batch["img_gather_idx"], axis=0)  # [B,T,D]
+    return jnp.where(batch["is_image"][..., None], gathered, text_emb)
+
+
+def metamorph_forward(
+    params: Params,
+    cfg: MetaMorphConfig,
+    batch: Dict[str, jnp.ndarray],
+    pixels: jnp.ndarray,
+    attn_impl: str = "xla",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Training forward: fused multimodal sequence -> (total_loss, metrics)."""
+    projected, targets = encode_images(params, cfg, pixels)
+    embeds = fuse_embeddings(params, cfg, batch, projected)
+
+    hidden = llama_lib.llama_forward(
+        params["llama"], cfg.llama, embeds,
+        batch["position_ids"], batch["attn_mask"],
+        attn_impl=attn_impl, remat=remat)
+
+    logits = llama_lib.lm_head(params["llama"], cfg.llama, hidden)  # [B,T,V] fp32
+
+    # ---- text CE (shifted) — metamorph_llama.py:401-413 ----
+    shift_logits = logits[:, :-1]
+    shift_labels = batch["labels"][:, 1:]
+    valid = (shift_labels != IGNORE_INDEX)
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    tok_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    loss_language = -(tok_logp * valid).sum() / n_valid
+
+    # ---- image-AR loss — metamorph_llama.py:420-459 ----
+    N, K, Dv = targets.shape
+    tgt_flat = targets.reshape(N * K, Dv).astype(jnp.float32)
+    h_pred = hidden[batch["ar_batch_idx"], batch["ar_pred_pos"]]      # [A, D]
+    pred = apply_vision_head(params, cfg, h_pred)                      # [A, Dv] fp32
+    tgt = jnp.take(tgt_flat, batch["ar_target_idx"], axis=0)           # [A, Dv]
+    w = batch["ar_valid"].astype(jnp.float32)
+    n_ar = jnp.maximum(w.sum(), 1.0)
+    if cfg.mm.apply_softmax:
+        per_tok = -(tgt * jnp.log(pred + 1e-10)).sum(-1)
+    elif cfg.mm.normalize_vision:
+        tgt_n = tgt / jnp.maximum(jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-12)
+        per_tok = -(pred * tgt_n).sum(-1)   # pred already unit-norm
+    else:
+        per_tok = jnp.abs(tgt - pred).mean(-1)
+    loss_image_ar = (per_tok * w).sum() / n_ar
+
+    total = loss_language
+    if cfg.mm.use_vision_ar:
+        total = total + cfg.mm.vision_coef * loss_image_ar
+
+    metrics = {
+        "loss": total,
+        "loss_language": loss_language,
+        "loss_image_ar": loss_image_ar,
+        "n_text_tokens": n_valid.astype(jnp.float32),
+        "n_image_ar_tokens": w.sum(),
+    }
+    return total, metrics

@@ -1,0 +1,39 @@
+"""Test harness: force an 8-virtual-device CPU backend (multi-chip emulation).
+
+The reference exercises multi-node only on a real SLURM cluster (SURVEY.md §4);
+we instead validate all sharding on a virtual mesh, per the standard JAX trick.
+Must run before the first `import jax` in any test module.
+"""
+
+import os
+import sys
+
+# Force CPU even when the ambient env points at a TPU (JAX_PLATFORMS=axon):
+# tests need 8 virtual devices and exact fp32 matmuls.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# Something in the environment may import jax before this conftest runs (the
+# axon TPU plugin reads JAX_PLATFORMS at jax import time); force the platform
+# again through the config API, which works until the backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests need 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from metamorph_tpu.config import MeshConfig
+    from metamorph_tpu.parallel.mesh import build_mesh
+
+    return build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
