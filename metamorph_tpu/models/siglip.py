@@ -137,8 +137,8 @@ def reduce_tokens(
     if mm.image_token_reduction == "interpolation":
         tgt = int(round(mm.num_image_tokens ** 0.5))
         grid = features.reshape(N, side, side, D).astype(jnp.float32)
-        # jax.image.resize 'linear' == torch bilinear align_corners=False
-        out = jax.image.resize(grid, (N, tgt, tgt, D), method="linear")
+        # antialias=False makes jax 'linear' == torch bilinear align_corners=False
+        out = jax.image.resize(grid, (N, tgt, tgt, D), method="linear", antialias=False)
         return out.reshape(N, tgt * tgt, D).astype(features.dtype)
     if mm.image_token_reduction == "mlpmixer":
         tm, cm = mixer_params["token_mixer"], mixer_params["channel_mixer"]
@@ -148,7 +148,7 @@ def reduce_tokens(
         tgt = int(round(mm.num_image_tokens ** 0.5))
         inter = tgt * 2
         grid = features.reshape(N, side, side, D).astype(jnp.float32)
-        grid = jax.image.resize(grid, (N, inter, inter, D), method="linear")
+        grid = jax.image.resize(grid, (N, inter, inter, D), method="linear", antialias=False)
         # 2x2 spatial concat -> [N, tgt, tgt, 4D]
         grid = grid.reshape(N, tgt, 2, tgt, 2, D).transpose(0, 1, 3, 2, 4, 5)
         grid = grid.reshape(N, tgt * tgt, 4 * D)
