@@ -1,0 +1,137 @@
+"""The jitted, GSPMD-sharded train step.
+
+Replaces the reference's HF Trainer + DeepSpeed engine per-step path
+(SURVEY.md §3.1): one `jax.jit` with parameter PartitionSpecs (fsdp axis =
+ZeRO-3), batch sharded over (data, fsdp), XLA emitting all-gather /
+reduce-scatter over ICI. Gradient accumulation is a `lax.scan` over
+microbatches (`TrainConfig.grad_accum_steps`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from metamorph_tpu.config import MetaMorphConfig
+from metamorph_tpu.models.metamorph import metamorph_forward
+from metamorph_tpu.parallel.sharding import partition_specs
+from metamorph_tpu.train.optimizer import make_optimizer
+
+TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
+
+
+def init_train_state(params: Any, cfg: MetaMorphConfig) -> TrainState:
+    tx = make_optimizer(cfg.train, params)
+    return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}
+
+
+def loss_fn(params, cfg: MetaMorphConfig, batch, pixels, attn_impl="xla"):
+    total, metrics = metamorph_forward(
+        params, cfg, batch, pixels, attn_impl=attn_impl, remat=cfg.train.remat)
+    return total, metrics
+
+
+def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], pixels: jnp.ndarray,
+               cfg: MetaMorphConfig, tx: optax.GradientTransformation,
+               attn_impl: str = "xla") -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimizer step (microbatching handled by the caller wrapper)."""
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state["params"], cfg, batch, pixels, attn_impl)
+    updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+    new_params = optax.apply_updates(state["params"], updates)
+    metrics = dict(metrics)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return (
+        {"params": new_params, "opt_state": new_opt, "step": state["step"] + 1},
+        metrics,
+    )
+
+
+def accum_train_step(state, batches, pixels, cfg, tx, attn_impl="xla"):
+    """Gradient accumulation: batches/pixels carry a leading microbatch axis.
+    Grads are averaged over microbatches via lax.scan (constant memory)."""
+
+    def micro(carry, inp):
+        grads_acc, metrics_acc = carry
+        b, px = inp
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], cfg, b, px, attn_impl)
+        grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+        metrics_acc = jax.tree.map(jnp.add, metrics_acc, dict(metrics))
+        return (grads_acc, metrics_acc), None
+
+    zero_grads = jax.tree.map(jnp.zeros_like, state["params"])
+    n = jax.tree.leaves(batches)[0].shape[0]
+    zero_metrics = {
+        "loss": 0.0, "loss_language": 0.0, "loss_image_ar": 0.0,
+        "n_text_tokens": 0.0, "n_image_ar_tokens": 0.0}
+    zero_metrics = jax.tree.map(jnp.float32, zero_metrics)
+    (grads, metrics), _ = jax.lax.scan(micro, (zero_grads, zero_metrics), (batches, pixels))
+    grads = jax.tree.map(lambda g: g / n, grads)
+    metrics = jax.tree.map(lambda m: m / n, metrics)
+
+    updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+    new_params = optax.apply_updates(state["params"], updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return (
+        {"params": new_params, "opt_state": new_opt, "step": state["step"] + 1},
+        metrics,
+    )
+
+
+def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: Any,
+                            attn_impl: str = "xla"):
+    """Compile the train step with explicit in/out shardings over the mesh.
+
+    Returns (jitted_step, tx, state_shardings). Params/opt-state are sharded by
+    the rule set (fsdp/tensor axes); batch arrays are sharded on their leading
+    batch dim over (data, fsdp); the small AR-plan vectors and images are
+    replicated (images could shard on N if N % mesh == 0).
+    """
+    tx = make_optimizer(cfg.train, params_template)
+
+    param_specs = partition_specs({"__root__": params_template}, mesh)["__root__"]
+    # opt_state mirrors param sharding; scalars replicated
+    opt_state_template = jax.eval_shape(tx.init, params_template)
+
+    def opt_spec(leaf):
+        # match leaves of opt state to param specs by shape: moments share shape
+        return None  # resolved below via tree structure
+
+    # Build opt-state specs: any leaf whose shape matches a param leaf gets that
+    # param's spec (adam m/v); everything else replicated.
+    shape_to_spec = {}
+    for p_leaf, spec in zip(jax.tree.leaves(params_template),
+                            jax.tree.leaves(param_specs, is_leaf=lambda x: isinstance(x, P))):
+        shape_to_spec[jnp.shape(p_leaf)] = spec
+    opt_specs = jax.tree.map(
+        lambda l: shape_to_spec.get(tuple(l.shape), P()), opt_state_template)
+
+    state_shardings = {
+        "params": jax.tree.map(lambda s: NamedSharding(mesh, s), param_specs,
+                               is_leaf=lambda x: isinstance(x, P)),
+        "opt_state": jax.tree.map(lambda s: NamedSharding(mesh, s), opt_specs,
+                                  is_leaf=lambda x: isinstance(x, P)),
+        "step": NamedSharding(mesh, P()),
+    }
+
+    batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
+    repl = NamedSharding(mesh, P())
+
+    def batch_shardings(batch_template):
+        out = {}
+        for k, v in batch_template.items():
+            # [B, T] arrays shard on batch; flat AR-plan vectors replicate
+            out[k] = batch_sh if v.ndim == 2 else repl
+        return out
+
+    @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0,))
+    def step_fn(state, batch, pixels):
+        return train_step(state, batch, pixels, cfg, tx, attn_impl)
+
+    return step_fn, tx, state_shardings, batch_shardings

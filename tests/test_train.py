@@ -1,0 +1,118 @@
+"""Training-stack tests: optimizer groups/freezing, sharded step == unsharded
+step (the ZeRO-3-equivalence assert SURVEY.md §5.8 calls for), loss decreases."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metamorph_tpu.config import (MetaMorphConfig, LlamaConfig, SiglipConfig,
+                                  MultimodalConfig, TrainConfig, MeshConfig)
+from metamorph_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, IM_START_TOKEN_ID
+from metamorph_tpu.models import metamorph as M
+from metamorph_tpu.multimodal.packing import pack_sequences, batch_to_arrays
+from metamorph_tpu.parallel.mesh import build_mesh
+from metamorph_tpu.parallel.sharding import shard_params
+from metamorph_tpu.train.optimizer import make_optimizer, trainable_mask
+from metamorph_tpu.train.train_step import init_train_state, train_step, make_sharded_train_step
+
+
+def tiny_cfg(**train_kw):
+    return MetaMorphConfig(
+        llama=LlamaConfig.tiny(vocab_size=128258),
+        siglip=SiglipConfig.tiny(),
+        mm=MultimodalConfig(num_image_tokens=4),
+        train=TrainConfig(max_seq_len=24, batch_size=4, max_images_per_batch=4,
+                          total_steps=20, remat=False, learning_rate=1e-3, **train_kw),
+    )
+
+
+def make_batch(cfg, B=4):
+    K = cfg.mm.num_image_tokens
+    IMG = IMAGE_TOKEN_INDEX
+    ids, labs = [], []
+    for b in range(B):
+        ids.append([1, 2 + b, IM_START_TOKEN_ID, IMG, 128257, 7, 8])
+        labs.append([IGNORE_INDEX, IGNORE_INDEX, IM_START_TOKEN_ID, 0, 128257, 7, 8])
+    packed = pack_sequences(ids, labs, K, cfg.train.max_seq_len, B)
+    batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
+    pixels = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, 28, 28, 3)).astype(np.float32))
+    return batch, pixels
+
+
+def test_loss_decreases():
+    cfg = tiny_cfg()
+    params = M.init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    state = init_train_state(params, cfg)
+    tx = make_optimizer(cfg.train, params)
+    batch, pixels = make_batch(cfg)
+
+    import functools
+    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch, pixels)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_stage1_freeze():
+    """tune_mm_mlp_adapter: only projector (+embeddings) move."""
+    cfg = tiny_cfg(tune_mm_mlp_adapter=True)
+    params = M.init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    state = init_train_state(params, cfg)
+    tx = make_optimizer(cfg.train, params)
+    batch, pixels = make_batch(cfg)
+    step = jax.jit(lambda s, b, p: train_step(s, b, p, cfg, tx))
+    # step 0 has LR=0 (warmup ramp) — take two steps so updates are visible
+    new_state, _ = step(state, batch, pixels)
+    new_state, _ = step(new_state, batch, pixels)
+
+    old, new = params, new_state["params"]
+    assert not np.allclose(np.asarray(old["projector"]["w0"]["kernel"]),
+                           np.asarray(new["projector"]["w0"]["kernel"]))
+    assert not np.allclose(np.asarray(old["llama"]["embed"]["embedding"]),
+                           np.asarray(new["llama"]["embed"]["embedding"]))
+    np.testing.assert_array_equal(np.asarray(old["llama"]["layers"]["attn"]["wq"]),
+                                  np.asarray(new["llama"]["layers"]["attn"]["wq"]))
+    np.testing.assert_array_equal(np.asarray(old["vision_head"]["w0"]["kernel"]),
+                                  np.asarray(new["vision_head"]["w0"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(old["siglip"]["patch_embed"]["kernel"]),
+                                  np.asarray(new["siglip"]["patch_embed"]["kernel"]))
+
+
+def test_sharded_step_matches_single_device():
+    """FSDP/TP-sharded step == unsharded step (bitwise-tolerant)."""
+    cfg = tiny_cfg()
+    params = M.init_metamorph_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    batch, pixels = make_batch(cfg)
+
+    # single device
+    state = init_train_state(params, cfg)
+    tx = make_optimizer(cfg.train, params)
+    f1 = jax.jit(lambda s, b, p: train_step(s, b, p, cfg, tx))
+    s1, m1 = f1(state, batch, pixels)
+    s1, m1 = f1(s1, batch, pixels)  # second step has non-zero LR
+
+    # 8-device mesh (2,2,2)
+    mesh = build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+    step_fn, tx2, state_sh, batch_sh_fn = make_sharded_train_step(cfg, mesh, params)
+    sh_params = shard_params(params, mesh)
+    state2 = {"params": sh_params, "opt_state": tx2.init(sh_params),
+              "step": jnp.zeros((), jnp.int32)}
+    from jax.sharding import NamedSharding
+    bs = batch_sh_fn(batch)
+    batch2 = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+    s2, m2 = step_fn(state2, batch2, pixels)
+    s2, m2 = step_fn(s2, batch2, pixels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for k in ("loss_language", "loss_image_ar"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5)
+    # parameters after one step agree
+    l1 = jax.tree.leaves(s1["params"])
+    l2 = jax.tree.leaves(jax.device_get(s2["params"]))
+    for a, b in zip(l1, l2):
+        # fp32 reduction-order differences across shards, amplified by adam rsqrt
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
