@@ -1,0 +1,151 @@
+"""Benchmark: interleaved multimodal train-step throughput on one TPU chip.
+
+Measures the full fused pipeline per optimizer step — SigLIP encode of the
+batch's images, projector, static splice, LLaMA forward+backward with the dual
+loss (text CE + visual-AR cosine), AdamW update — and reports packed
+tokens/sec/chip. Prints ONE JSON line.
+
+The north-star metric (BASELINE.md) is >=3000 interleaved tokens/sec/chip at 8B
+on v5p. This harness auto-sizes the LLM to the local chip's HBM (a v5e-16GB
+dev chip can't hold 8B + Adam states); the model size is recorded in the
+metric string and vs_baseline is measured against the 3000 tok/s/chip bar.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_cfg():
+    from metamorph_tpu.config import (MetaMorphConfig, LlamaConfig, SiglipConfig,
+                                      MultimodalConfig, TrainConfig)
+
+    size = os.environ.get("BENCH_MODEL_SIZE", "auto")
+    if size == "auto":
+        import jax
+        try:
+            mem = jax.devices()[0].memory_stats().get("bytes_limit", 16 << 30)
+        except Exception:
+            mem = 16 << 30
+        size = "8b" if mem > 80 << 30 else "600m"
+
+    if size == "8b":
+        llama = LlamaConfig()  # 8B
+        batch, seqlen = 8, 4096
+    elif size == "1b":
+        llama = LlamaConfig(vocab_size=128258, hidden_size=2048,
+                            intermediate_size=8192, num_layers=16,
+                            num_heads=16, num_kv_heads=8, head_dim=128,
+                            rope_scaling=False)
+        batch, seqlen = 4, 2048
+    else:  # 600m — fits one 16GB chip with Adam states
+        llama = LlamaConfig(vocab_size=128258, hidden_size=1280,
+                            intermediate_size=5120, num_layers=12,
+                            num_heads=10, num_kv_heads=5, head_dim=128,
+                            rope_scaling=False)
+        batch, seqlen = 2, 2048
+
+    batch = int(os.environ.get("BENCH_BATCH", batch))
+    seqlen = int(os.environ.get("BENCH_SEQLEN", seqlen))
+    cfg = MetaMorphConfig(
+        llama=llama,
+        siglip=SiglipConfig(),  # real SO400M tower, frozen
+        mm=MultimodalConfig(num_image_tokens=64),
+        train=TrainConfig(max_seq_len=seqlen, batch_size=batch,
+                          max_images_per_batch=2 * batch, remat=True,
+                          total_steps=1000, learning_rate=1e-5),
+    )
+    return cfg, size
+
+
+def build_batch(cfg):
+    """Interleaved ImageQA+generation style rows: a prompt image, QA text, and
+    an answer image (AR-supervised) per sample — BASELINE config 2/4 shape."""
+    import jax.numpy as jnp
+
+    from metamorph_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, IM_START_TOKEN_ID
+    from metamorph_tpu.multimodal.packing import pack_sequences, batch_to_arrays
+
+    rng = np.random.default_rng(0)
+    B, T, K = cfg.train.batch_size, cfg.train.max_seq_len, cfg.mm.num_image_tokens
+    ids, labs = [], []
+    for b in range(B):
+        n_text = T - 2 * K - 8  # fill the context
+        text = rng.integers(10, 100000, n_text).tolist()
+        row = ([128000] + text[: n_text // 2] + [IMAGE_TOKEN_INDEX]
+               + text[n_text // 2:] + [IM_START_TOKEN_ID, IMAGE_TOKEN_INDEX,
+                                       128257, 128009])
+        lab = ([IGNORE_INDEX] * (1 + n_text // 2) + [IGNORE_INDEX]
+               + text[n_text // 2:] + [IM_START_TOKEN_ID, 0, 128257, 128009])
+        ids.append(row)
+        labs.append(lab)
+    packed = pack_sequences(ids, labs, K, T, 2 * B)
+    batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
+    S = cfg.siglip.image_size
+    pixels = jnp.asarray(rng.normal(size=(2 * B, S, S, 3)).astype(np.float32))
+    return batch, pixels
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+    from metamorph_tpu.train.optimizer import make_optimizer
+    from metamorph_tpu.train.train_step import train_step, init_train_state
+    import functools
+
+    cfg, size = build_cfg()
+    n_chips = len(jax.devices())
+    log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "
+        f"T={cfg.train.max_seq_len} backend={jax.default_backend()}")
+
+    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    log(f"params: {n_params/1e9:.3f}B total")
+
+    state = init_train_state(params, cfg)
+    tx = make_optimizer(cfg.train, params)
+    batch, pixels = build_batch(cfg)
+
+    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx), donate_argnums=(0,))
+
+    t0 = time.time()
+    state, metrics = step(state, batch, pixels)
+    jax.block_until_ready(metrics["loss"])
+    log(f"compile+first step: {time.time()-t0:.1f}s loss={float(metrics['loss']):.3f}")
+
+    # warmup one more, then timed steps
+    state, metrics = step(state, batch, pixels)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", 10))
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch, pixels)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.time() - t0
+
+    tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
+    tok_s_chip = tokens_per_step * n_steps / dt / n_chips
+    baseline = 3000.0
+    result = {
+        "metric": f"interleaved train tokens/sec/chip ({size} LLM + SigLIP-SO400M, dual loss)",
+        "value": round(tok_s_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(tok_s_chip / baseline, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
