@@ -1,0 +1,186 @@
+"""Unified multimodal greedy decode with a real KV cache.
+
+Re-implements the reference decode state machine
+(`metamorph/model/language_model/metamorph_llama.py:502-597`) inside a
+`lax.while_loop` over a KV cache. The reference forces use_cache=False and
+recomputes the whole growing sequence every token (O(T^2) decode,
+`metamorph_llama.py:510,524`); here each iteration is a single-token
+`decode_step`, mathematically identical because attention is causal.
+
+State machine (same transitions as the reference):
+  * token 128256 <image_start> (while not in image mode) -> enter image mode;
+  * in image mode, for K steps: the model's last hidden is replaced by
+    mm_projector(vision_head(hidden)) (the continuous-token feedback trick,
+    `metamorph_llama.py:363-377`), the 1152-d prediction is recorded, and the
+    projected embedding is fed back as the next input; after K tokens exit;
+  * token 128257 <image_end> -> exit image mode;
+  * anything else -> append its text embedding and record the id;
+  * stop on eos (128001/128009) — checked every iteration, even mid-image,
+    exactly like the reference (`:578-582`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from metamorph_tpu.config import MetaMorphConfig
+from metamorph_tpu.constants import (IM_END_TOKEN_ID, IM_START_TOKEN_ID,
+                                     LLAMA3_EOS_IDS)
+from metamorph_tpu.models import llama as llama_lib
+from metamorph_tpu.models import metamorph as mm_lib
+from metamorph_tpu.models import projector as proj_lib
+
+
+class DecodeState(NamedTuple):
+    cache: Dict[str, jnp.ndarray]
+    cache_len: jnp.ndarray        # int32 — tokens currently in cache
+    next_embed: jnp.ndarray       # [1, 1, D] — input for the next step
+    in_image: jnp.ndarray         # bool
+    img_count: jnp.ndarray        # int32 — tokens emitted for current image
+    ids: jnp.ndarray              # [max_new] int32 (pad = -1)
+    n_ids: jnp.ndarray            # int32
+    img_embeds: jnp.ndarray       # [max_img_tokens, Dv] fp32
+    n_img: jnp.ndarray            # int32
+    steps: jnp.ndarray            # int32 — total iterations (ref counter)
+    done: jnp.ndarray             # bool
+
+
+def _project_pred(params, cfg: MetaMorphConfig, pred_z: jnp.ndarray) -> jnp.ndarray:
+    """mm_projector(vision_head output) — the continuous token fed back."""
+    acts = mm_lib._proj_acts(cfg)
+    dtype = params["llama"]["embed"]["embedding"].dtype
+    return proj_lib.apply_stack(params["projector"], acts, pred_z.astype(dtype))
+
+
+def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
+             h_last: jnp.ndarray, K: int, max_new: int) -> DecodeState:
+    """Apply the state machine to the hidden state of the newest position."""
+    logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)  # [1, V]
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [1]
+    tok = next_token[0]
+
+    pred_z = mm_lib.apply_vision_head(params, cfg, h_last)           # [1, Dv] fp32
+    prediction = _project_pred(params, cfg, pred_z)                  # [1, D]
+    tok_embed = llama_lib.embed_tokens(params["llama"], next_token)  # [1, D]
+
+    is_start = jnp.logical_and(~state.in_image, tok == IM_START_TOKEN_ID)
+    emit_image = jnp.logical_and(state.in_image, state.img_count < K)
+    is_end = jnp.logical_and(~emit_image, jnp.logical_and(~is_start,
+                                                          tok == IM_END_TOKEN_ID))
+
+    # record the generated id for every branch except continuous emission
+    record = ~emit_image
+    ids = state.ids.at[state.n_ids].set(jnp.where(record, tok, state.ids[state.n_ids]))
+    n_ids = state.n_ids + record.astype(jnp.int32)
+
+    # record the 1152-d prediction during emission
+    img_embeds = jax.lax.cond(
+        emit_image,
+        lambda buf: buf.at[state.n_img].set(pred_z[0]),
+        lambda buf: buf,
+        state.img_embeds)
+    n_img = state.n_img + emit_image.astype(jnp.int32)
+    img_count = jnp.where(emit_image, state.img_count + 1, state.img_count)
+
+    # image-mode transitions
+    in_image = state.in_image
+    in_image = jnp.where(is_start, True, in_image)
+    in_image = jnp.where(jnp.logical_and(emit_image, img_count >= K), False, in_image)
+    in_image = jnp.where(is_end, False, in_image)
+    # NOTE: like the reference, the counter resets ONLY on <image_end>
+    # (`metamorph_llama.py:565-567`) — a second <image_start> without an
+    # intervening <image_end> emits no image tokens. Faithful quirk.
+    img_count = jnp.where(is_end, 0, img_count)
+
+    next_embed = jnp.where(emit_image, prediction, tok_embed)[None]  # [1,1,D]
+
+    steps = state.steps + 1
+    is_eos = jnp.isin(tok, jnp.asarray(LLAMA3_EOS_IDS, jnp.int32))
+    buffer_full = n_img >= state.img_embeds.shape[0]
+    done = state.done | is_eos | (steps >= max_new) | buffer_full
+
+    return DecodeState(
+        cache=state.cache, cache_len=state.cache_len, next_embed=next_embed,
+        in_image=in_image, img_count=img_count, ids=ids, n_ids=n_ids,
+        img_embeds=img_embeds, n_img=n_img, steps=steps, done=done)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
+                                             "max_cache_len"))
+def greedy_decode(
+    params: Any,
+    cfg: MetaMorphConfig,
+    prompt_embeds: jnp.ndarray,   # [1, T0, D] fused prompt
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+) -> Dict[str, jnp.ndarray]:
+    """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
+    "n_image_tokens": ()}. ids padded with -1."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    T0 = prompt_embeds.shape[1]
+    cache_len_total = max_cache_len or (T0 + max_new_tokens + 8)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, 1, cache_len_total, dtype=dtype)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos,
+        jnp.ones((1, T0), jnp.int32), cache)
+
+    state = DecodeState(
+        cache=cache,
+        cache_len=jnp.int32(T0),
+        next_embed=jnp.zeros((1, 1, D), dtype),
+        in_image=jnp.asarray(False),
+        img_count=jnp.int32(0),
+        ids=jnp.full((max_new_tokens,), -1, jnp.int32),
+        n_ids=jnp.int32(0),
+        img_embeds=jnp.zeros((max_images * K, Dv), jnp.float32),
+        n_img=jnp.int32(0),
+        steps=jnp.int32(0),
+        done=jnp.asarray(False),
+    )
+    # first transition comes from the prefill's last hidden state
+    state = _advance(params, cfg, state, h_all[:, -1], K, max_new_tokens)
+
+    def cond(s: DecodeState):
+        return ~s.done
+
+    def body(s: DecodeState):
+        p = s.cache_len[None, None]  # [1,1] position of the new token
+        h, cache = llama_lib.decode_step(
+            params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len)
+        s = s._replace(cache=cache, cache_len=s.cache_len + 1)
+        return _advance(params, cfg, s, h[:, 0], K, max_new_tokens)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return {
+        "ids": state.ids,
+        "n_ids": state.n_ids,
+        "image_embeds": state.img_embeds,
+        "n_image_tokens": state.n_img,
+    }
+
+
+def generate(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
+             pixels: jnp.ndarray | None = None, max_new_tokens: int = 256,
+             max_images: int = 4) -> Dict[str, jnp.ndarray]:
+    """Fuse the prompt (images included) then greedy-decode — the reference
+    `generate` override (`metamorph_llama.py:665-717`)."""
+    if pixels is not None:
+        projected, _ = mm_lib.encode_images(params, cfg, pixels)
+        embeds = mm_lib.fuse_embeddings(params, cfg, batch, projected)
+    else:
+        embeds = llama_lib.embed_tokens(params["llama"], batch["tokens"])
+    # strip right padding from the single-row prompt
+    n = int(batch["attn_mask"][0].sum())
+    embeds = embeds[:, :n]
+    return greedy_decode(params, cfg, embeds, max_new_tokens=max_new_tokens,
+                         max_images=max_images)
