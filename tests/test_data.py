@@ -1,0 +1,145 @@
+"""Data pipeline tests: JSONL lazy loading, dispatch branches, consistency
+guards, collation to packed batches, resumable iteration."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from metamorph_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from metamorph_tpu.train.data import (DataConfig, DataIterator,
+                                      LazySupervisedDataset, PackedCollator,
+                                      draw_bounding_boxes,
+                                      modality_length_grouped_indices,
+                                      process_vstar_answer, video_task_description)
+from tests.test_masking import fake_tokenize
+
+
+@pytest.fixture()
+def jsonl_dir(tmp_path):
+    from PIL import Image
+
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.full((40, 60, 3), 128, np.uint8)).save(img_path)
+
+    rows = [
+        {"id": "s1", "image": str(img_path),
+         "conversations": [
+             {"from": "human", "value": "<image>\nwhat is it"},
+             {"from": "gpt", "value": "gray"}]},
+        {"id": "s2", "image": None,
+         "conversations": [
+             {"from": "human", "value": "hello"},
+             {"from": "gpt", "value": "hi there"}]},
+        {"id": "vstar_1", "image": str(img_path),
+         "target_instances": [{"name": "cat", "bbox": [5, 5, 20, 20]}],
+         "conversations": [
+             {"from": "human", "value": "<image>\nAdditional visual information to focus on: where is it"},
+             {"from": "gpt", "value": "left"}]},
+        {"id": "bad", "image": str(tmp_path / "missing.png"),
+         "conversations": [
+             {"from": "human", "value": "<image>\nx"},
+             {"from": "gpt", "value": "y"}]},
+    ]
+    path = tmp_path / "data.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def make_ds(jsonl_dir, **kw):
+    cfg = DataConfig(data_path=jsonl_dir, image_size=28, **kw)
+    return LazySupervisedDataset(jsonl_dir, fake_tokenize, cfg)
+
+
+def test_image_sample(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    row = ds[0]
+    assert row["pixels"].shape == (1, 28, 28, 3)
+    assert row["input_ids"].count(IMAGE_TOKEN_INDEX) == 1
+    assert row["modality_length"] > 0
+    sup = [l for l in row["labels"] if l != IGNORE_INDEX]
+    assert len(sup) > 0
+
+
+def test_text_only_gets_dummy_image(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    row = ds[1]
+    assert row["pixels"].shape == (1, 28, 28, 3)
+    assert np.all(row["pixels"] == 0)
+    assert row["modality_length"] < 0
+    assert IMAGE_TOKEN_INDEX not in row["input_ids"]
+
+
+def test_vstar_two_images(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    row = ds[2]
+    # original + boxed -> 2 images, 2 sentinels (the answer embeds one <image>)
+    assert row["pixels"].shape[0] == 2
+    assert row["input_ids"].count(IMAGE_TOKEN_INDEX) == 2
+
+
+def test_bad_sample_skips_to_next(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    row = ds[3]  # missing.png -> falls through to row 0
+    assert row["pixels"] is not None
+
+
+def test_vstar_answer_format():
+    out = process_vstar_answer("left", [{"name": "cat"}, {"name": "dog"}])
+    assert "cat, and dog." in out
+    assert "<image>" in out
+    assert out.endswith("left")
+
+
+def test_draw_bounding_boxes():
+    img = np.zeros((30, 30, 3), np.uint8)
+    out = draw_bounding_boxes(img, [{"name": "x", "bbox": [5, 5, 10, 10]}])
+    assert (out[5, 5:16] == [255, 0, 0]).all()
+    assert (img == 0).all()  # input untouched
+
+
+def test_video_templates_tag_consistency():
+    """Every template family must reference exactly as many <image> tags as the
+    reorder function returns frames."""
+    rng = random.Random(0)
+    for n in (2, 4, 6, 9):
+        for _ in range(30):
+            q, a, reorder = video_task_description(n, 1.0, rng)
+            frames = list(range(n))
+            used = reorder(frames) if reorder else frames
+            n_tags = (q + " " + a).count("<image>")
+            assert n_tags == len(used), (n, q, a)
+
+
+def test_collator_and_iterator(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64, num_image_slots=6,
+                         image_size=28)
+    it = DataIterator(ds, col, batch_size=2, seed=0)
+    gen = iter(it)
+    packed, pixels = next(gen)
+    assert packed.tokens.shape == (2, 64)
+    assert pixels.shape == (6, 28, 28, 3)
+
+    # resumability: iterator restarted from state reproduces the same batch
+    state = it.state_dict()
+    packed2, _ = next(gen)
+    it2 = DataIterator(ds, col, batch_size=2, seed=0)
+    it2.load_state_dict(state)
+    packed3, _ = next(iter(it2))
+    np.testing.assert_array_equal(packed2.tokens, packed3.tokens)
+
+
+def test_modality_grouping():
+    lengths = [10, -5, 12, -7, 9, -3, 11, -6]
+    rng = random.Random(0)
+    idx = modality_length_grouped_indices(lengths, 2, rng)
+    assert sorted(idx) == list(range(8))
+    for s in range(0, 8, 2):
+        pair = idx[s:s + 2]
+        signs = {lengths[i] > 0 for i in pair}
+        assert len(signs) == 1  # single modality per batch
