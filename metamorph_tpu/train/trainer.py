@@ -1,0 +1,154 @@
+"""Training orchestration: the `train()` entry point.
+
+Replaces the reference's HF-Trainer + DeepSpeed stack (`metamorph/train/train.py:1375-1619`
+and `metamorph_trainer.py`): config -> mesh -> params (fresh or HF import,
+optionally stage-1 adapter merge) -> sharded jitted step -> loop with metrics,
+checkpoint/auto-resume, adapter-only saves, preemption handling.
+
+Two-stage recipe parity:
+  * stage 1 (connector pretrain): `tune_mm_mlp_adapter=True` -> only projector
+    (+ embeddings) train; saves `mm_projector.safetensors` adapter;
+  * stage 2 (instruction tune): full finetune consuming the stage-1 adapter
+    (`pretrain_mm_mlp_adapter`), dual loss with `use_vision_ar`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metamorph_tpu.config import MetaMorphConfig
+from metamorph_tpu.models.metamorph import init_metamorph_params
+from metamorph_tpu.multimodal.packing import PackedBatch, batch_to_arrays
+from metamorph_tpu.parallel.mesh import build_mesh
+from metamorph_tpu.parallel.sharding import shard_params
+from metamorph_tpu.train import checkpoint as ckpt_lib
+from metamorph_tpu.train.train_step import make_sharded_train_step
+from metamorph_tpu.utils.logging import MetricsLogger, rank0_print
+
+
+@dataclass
+class TrainerArgs:
+    output_dir: str = "./out"
+    save_steps: int = 500
+    save_total_limit: int = 1
+    logging_steps: int = 1
+    resume: bool = True                       # resume-if-checkpoint (train.py:1592-1595)
+    pretrain_mm_mlp_adapter: Optional[str] = None
+    hf_llama_path: Optional[str] = None       # import LLaMA weights
+    hf_siglip_path: Optional[str] = None      # import SigLIP weights
+    use_wandb: bool = False
+    attn_impl: str = "xla"                    # xla | flash
+
+
+def build_params(cfg: MetaMorphConfig, args: TrainerArgs, seed: int = 0):
+    dtype = jnp.bfloat16 if cfg.train.param_dtype == "bfloat16" else jnp.float32
+    params = init_metamorph_params(jax.random.PRNGKey(seed), cfg, dtype)
+    if args.hf_llama_path:
+        from metamorph_tpu.models.hf_import import (llama_params_from_hf,
+                                                    load_safetensors_dir)
+
+        tensors = load_safetensors_dir(args.hf_llama_path)
+        params["llama"] = llama_params_from_hf(tensors, cfg.llama, dtype)
+    if args.hf_siglip_path:
+        from metamorph_tpu.models.hf_import import (load_safetensors_dir,
+                                                    siglip_params_from_hf)
+
+        tensors = load_safetensors_dir(args.hf_siglip_path)
+        params["siglip"] = siglip_params_from_hf(tensors, cfg.siglip, dtype)
+    if args.pretrain_mm_mlp_adapter:
+        params = ckpt_lib.load_adapter(args.pretrain_mm_mlp_adapter, params)
+    return params
+
+
+def train(cfg: MetaMorphConfig, args: TrainerArgs,
+          data_iter: Iterable, multihost: bool = False) -> Dict[str, Any]:
+    """data_iter yields (PackedBatch | dict-of-arrays, pixels [N,S,S,3])."""
+    if multihost:
+        jax.distributed.initialize()  # torchrun/c10d rendezvous equivalent
+
+    mesh = build_mesh(cfg.mesh)
+    rank0_print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    params = build_params(cfg, args)
+    step_fn, tx, state_shardings, batch_sh_fn = make_sharded_train_step(
+        cfg, mesh, params, attn_impl=args.attn_impl)
+
+    sh_params = shard_params(params, mesh)
+    state = {"params": sh_params, "opt_state": tx.init(sh_params),
+             "step": jnp.zeros((), jnp.int32)}
+    # pin every leaf (incl. optimizer scalars) to its mesh sharding so restore
+    # and step_fn see one consistent device set
+    state = jax.device_put(state, state_shardings)
+    del params
+
+    # ---- auto-resume ----
+    start_step = 0
+    data_state = None
+    latest = ckpt_lib.latest_checkpoint(args.output_dir) if args.resume else None
+    if latest:
+        rank0_print(f"resuming from {latest}")
+        state = jax.device_put(
+            ckpt_lib.restore_train_state(latest, state), state_shardings)
+        meta = ckpt_lib.restore_meta(latest)
+        start_step = meta["step"]
+        data_state = meta.get("data_state")
+    if data_state and hasattr(data_iter, "load_state_dict"):
+        data_iter.load_state_dict(data_state)
+
+    preempt = ckpt_lib.PreemptionSaver()
+    metrics_log = MetricsLogger(
+        log_path=os.path.join(args.output_dir, "metrics.jsonl"),
+        use_wandb=args.use_wandb)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
+    n_chips = len(jax.devices())
+
+    def save(step):
+        ds = data_iter.state_dict() if hasattr(data_iter, "state_dict") else None
+        ckpt_lib.save_train_state(args.output_dir, step, state, cfg.to_json(), ds)
+        ckpt_lib.prune_checkpoints(args.output_dir, args.save_total_limit)
+        if cfg.train.tune_mm_mlp_adapter:
+            ckpt_lib.save_adapter(
+                os.path.join(args.output_dir, "mm_projector.safetensors"),
+                jax.device_get(state["params"]))
+
+    step = start_step
+    it = iter(data_iter)
+    last_metrics = {}
+    try:
+        while step < cfg.train.total_steps:
+            packed, pixels = next(it)
+            batch = (batch_to_arrays(packed) if isinstance(packed, PackedBatch)
+                     else dict(packed))
+            bs = batch_sh_fn(batch)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
+            pixels = jax.device_put(np.asarray(pixels), NamedSharding(mesh, P()))
+
+            state, m = step_fn(state, batch, pixels)
+            step += 1
+            if step % args.logging_steps == 0:
+                m = {k: float(v) for k, v in jax.device_get(m).items()}
+                last_metrics = metrics_log.log(step, m, tokens_per_step, n_chips)
+                rank0_print(f"step {step}: loss={m['loss']:.4f} "
+                            f"(lang={m['loss_language']:.4f} "
+                            f"img_ar={m['loss_image_ar']:.4f})")
+            if step % args.save_steps == 0 or preempt.should_save():
+                save(step)
+                if preempt.should_save():
+                    rank0_print("preemption save complete; exiting")
+                    break
+    finally:
+        metrics_log.close()
+
+    save(step)
+    return {"state": state, "step": step, "metrics": last_metrics}
