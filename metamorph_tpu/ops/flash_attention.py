@@ -1,0 +1,373 @@
+"""Pallas TPU flash attention (forward + backward), GQA-aware.
+
+TPU-native replacement for the reference's flash_attn CUDA monkey patch
+(`metamorph/train/llama_flash_attn_monkey_patch.py:32-109`): tiled QK^T on the
+MXU with streaming softmax — the [T, S] score matrix never hits HBM — plus a
+flash backward (recompute-from-logsumexp) as a custom VJP.
+
+Semantics:
+  * causal masking;
+  * right-padding masking via per-row valid lengths (the packed training batch
+    is right-padded, `multimodal/packing.py`); padded *query* rows produce
+    zeros;
+  * GQA: q heads grouped onto kv heads through the BlockSpec index_map — the
+    repeated K/V are never materialized in HBM.
+
+Layout: q [B, T, H, Dh], k/v [B, S, KV, Dh] (model layout); kernels run on
+[B, H, T, Dh]. fp32 accumulation; inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _interpret() -> bool:
+    """Interpreter mode on non-TPU backends (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(lengths_ref,  # scalar prefetch [B]
+                q_ref, k_ref, v_ref,   # [1,1,BQ,Dh], [1,1,BK,Dh] x2
+                o_ref, lse_ref,        # [1,1,BQ,Dh], [1,1,BQ]
+                acc, m_i, l_i,         # scratch: [BQ,Dh] f32, [BQ,LANES], [BQ,LANES]
+                *, scale, block_q, block_k, n_k, causal):
+    b, h, iq, jk = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
+                    pl.program_id(3))
+
+    @pl.when(jk == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    length = lengths_ref[b]
+    q_start = iq * block_q
+    k_start = jk * block_k
+
+    # causal block skip: process only if the block intersects the lower triangle
+    should_run = True
+    if causal:
+        should_run = q_start + block_q - 1 >= k_start
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)            # [BQ, Dh]
+        k = k_ref[0, 0].astype(jnp.float32)            # [BK, Dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col < length
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_i[:, :1]                            # [BQ, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)      # [BQ, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: exp(NEG_INF - NEG_INF) would be 1
+        p = jnp.exp(s - m_new)
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)                # [BQ, 1]
+        l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        v = v_ref[0, 0].astype(jnp.float32)            # [BK, Dh]
+        acc[...] = acc[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+        l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+
+    @pl.when(jk == n_k - 1)
+    def _finish():
+        l = l_i[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        # logsumexp [BQ, 1]; fully-masked rows get NEG_INF
+        lse = m_i[:, :1] + jnp.log(l_safe)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+
+
+def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
+    B, H, T, Dh = q.shape
+    KV, S = k.shape[1], k.shape[2]
+    group = H // KV
+    n_q, n_k = _cdiv(T, block_q), _cdiv(S, block_k)
+
+    grid = (B, H, n_q, n_k)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_q=block_q, block_k=block_k,
+        n_k=n_k, causal=causal)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh),
+                             lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh),
+                             lambda b, h, i, j, *_: (b, h // group, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, Dh), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels (flash2-style recompute from logsumexp)
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, block_q, block_k, n_k, causal):
+    b, h, iq, jk = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
+                    pl.program_id(3))
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    length = lengths_ref[b]
+    q_start, k_start = iq * block_q, jk * block_k
+    should_run = True
+    if causal:
+        should_run = q_start + block_q - 1 >= k_start
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]                       # [BQ, 1]
+        delta = delta_ref[0, 0]                   # [BQ, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col < length
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(jk == n_k - 1)
+    def _finish():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale, block_q, block_k, n_q, causal):
+    b, h, jk, iq = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
+                    pl.program_id(3))
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    length = lengths_ref[b]
+    q_start, k_start = iq * block_q, jk * block_k
+    should_run = True
+    if causal:
+        should_run = q_start + block_q - 1 >= k_start
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]                       # [BQ, 1]
+        delta = delta_ref[0, 0]                   # [BQ, 1]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = col < length
+        if causal:
+            row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col <= row)
+        p = jnp.exp(s - lse)
+        p = jnp.where(mask, p, 0.0)
+
+        # dV += P^T dO ; dS = P*(dP - delta) ; dK += dS^T Q * scale
+        dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(iq == n_q - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd(causal, block_q, block_k, scale_opt, res, g):
+    q, k, v, lengths, o, lse = res
+    do, _ = g
+    B, H, T, Dh = q.shape
+    KV, S = k.shape[1], k.shape[2]
+    group = H // KV
+    scale = scale_opt if scale_opt is not None else Dh ** -0.5
+    n_q, n_k = _cdiv(T, block_q), _cdiv(S, block_k)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [B,H,T,1]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, block_q=block_q,
+                          block_k=block_k, n_k=n_k, causal=causal),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_q, n_k),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, i, j, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, Dh),
+                                   lambda b, h, i, j, *_: (b, h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((block_q, Dh), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, q, k, v, do, lse, delta)
+
+    # dk/dv per q-head, folded onto kv heads afterwards (cheap XLA reduce)
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, block_q=block_q,
+                          block_k=block_k, n_q=n_q, causal=causal),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, j, i, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, j, i, *_: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, j, i, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, j, i, *_: (b, h, j, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_k, Dh), jnp.float32),
+                            pltpu.VMEM((block_k, Dh), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, S, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, S, Dh), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, q, k, v, do, lse, delta)
+
+    dk = dk_h.reshape(B, KV, group, S, Dh).sum(axis=2).astype(k.dtype)
+    dv = dv_h.reshape(B, KV, group, S, Dh).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, lengths, causal, block_q, block_k, scale_opt):
+    o, _ = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)[0]
+    return o
+
+
+def _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt):
+    scale = scale_opt if scale_opt is not None else q.shape[-1] ** -0.5
+    o, lse = _fwd(q, k, v, lengths, scale, causal, block_q, block_k)
+    return (o, lse), (q, k, v, lengths, o, lse)
+
+
+def _flash_fwd_rule(q, k, v, lengths, causal, block_q, block_k, scale_opt):
+    (o, lse), res = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)
+    return o, res
+
+
+def _flash_bwd_rule(causal, block_q, block_k, scale_opt, res, do):
+    return _bwd(causal, block_q, block_k, scale_opt, res, (do, None))
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,                     # [B, T, H, Dh]
+    k: jnp.ndarray,                     # [B, S, KV, Dh]
+    v: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray] = None,  # [B, S] right-padded validity
+    causal: bool = True,
+    block_q: int = 128,
+    block_k: int = 128,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Model-layout wrapper. Returns [B, T, H, Dh]."""
+    B, T, H, Dh = q.shape
+    S = k.shape[1]
+    if attn_mask is None:
+        lengths = jnp.full((B,), S, jnp.int32)
+    else:
+        lengths = attn_mask.astype(jnp.int32).sum(axis=-1)
+    block_q = min(block_q, T)
+    block_k = min(block_k, S)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = _flash(qt, kt, vt, lengths, causal, block_q, block_k, scale)
+    return o.transpose(0, 2, 1, 3)
