@@ -1,0 +1,138 @@
+"""Visualizer tests: scheduler math, adapter modes, UNet/VAE shapes, a short
+training loop that reduces loss, and the render pipeline end-to-end (tiny)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metamorph_tpu.visualizer.adapter import apply_adapter, init_adapter, pad_tokens
+from metamorph_tpu.visualizer.scheduler import (DDIMScheduler, DDPMScheduler,
+                                                SchedulerConfig)
+from metamorph_tpu.visualizer.unet import UNetConfig, init_unet_params, unet_apply
+from metamorph_tpu.visualizer.vae import (VAEConfig, init_vae_params, vae_decode,
+                                          vae_encode)
+from metamorph_tpu.visualizer.train import (VisualizerTrainConfig, lr_schedule,
+                                            make_visualizer_train_step)
+
+
+def test_ddpm_add_noise_math():
+    sched = DDPMScheduler()
+    x0 = jnp.ones((2, 4, 4, 4))
+    noise = jnp.full((2, 4, 4, 4), 2.0)
+    t = jnp.asarray([0, 999])
+    out = sched.add_noise(x0, noise, t)
+    a = np.asarray(sched.alphas_cumprod)
+    for b, tt in enumerate([0, 999]):
+        expect = np.sqrt(a[tt]) * 1.0 + np.sqrt(1 - a[tt]) * 2.0
+        np.testing.assert_allclose(np.asarray(out)[b], expect, rtol=1e-5)
+
+
+def test_ddpm_step_recovers_x0():
+    """With a perfect epsilon prediction, iterating DDIM from x_t returns ~x0."""
+    sched = DDIMScheduler()
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ddpm = DDPMScheduler()
+    t = jnp.asarray([500])
+    xt = ddpm.add_noise(x0, noise, t)
+    # single DDIM jump t=500 -> -1 with true eps returns exactly x0
+    out = sched.step(noise, 500, -1, xt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["mlp", "xattn", "xattnffn", "transformer"])
+def test_adapter_modes(mode):
+    p = init_adapter(jax.random.PRNGKey(0), mode=mode, input_dim=24,
+                     hidden_dim=32, output_dim=16, num_tokens=11, num_layers=2,
+                     num_heads=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 5, 24))
+    out = apply_adapter(p, x, mode=mode, num_heads=4)
+    if mode == "mlp":
+        assert out.shape == (2, 5, 16)   # token count unchanged (demo pads)
+    else:
+        assert out.shape == (2, 11, 16)  # learned queries
+    assert np.isfinite(np.asarray(out)).all()
+    assert pad_tokens(out, 13).shape == (2, 13, 16)
+
+
+def test_unet_shapes():
+    cfg = UNetConfig.tiny()
+    p = init_unet_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 4))
+    t = jnp.asarray([3, 500])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 7, cfg.cross_attention_dim))
+    out = unet_apply(p, cfg, x, t, ctx)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # conditioning actually reaches the output
+    out2 = unet_apply(p, cfg, x, t, ctx * 2.0)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_vae_roundtrip_shapes():
+    cfg = VAEConfig.tiny()
+    p = init_vae_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    lat = vae_encode(p, cfg, img)
+    assert lat.shape == (2, 8, 8, 4)  # one downsample level (2 blocks)
+    out = vae_decode(p, cfg, lat)
+    assert out.shape == img.shape
+
+
+def test_lr_schedule():
+    fn = lr_schedule(1.0, target=1600)
+    assert float(fn(0)) == 0.0
+    assert abs(float(fn(400)) - 1.0) < 1e-5   # peak at target//4
+    assert float(fn(1000)) < 1.0
+    assert float(fn(1700)) == 0.0
+
+
+def test_training_step_reduces_loss():
+    tc = VisualizerTrainConfig(adapter_mode="mlp", num_tokens=4, cfg_prob=0.0,
+                               learning_rate=1e-3, total_steps=100,
+                               batch_size=2, resolution=16)
+    unet_cfg = UNetConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    step, init_state = make_visualizer_train_step(tc, unet_cfg, vae_cfg)
+    # adapter input must be 1152-wide by default; use small custom adapter
+    from metamorph_tpu.visualizer.adapter import init_adapter as ia
+
+    state = init_state(jax.random.PRNGKey(0))
+    state["adapter"] = ia(jax.random.PRNGKey(1), mode="mlp", input_dim=12,
+                          hidden_dim=16, output_dim=unet_cfg.cross_attention_dim,
+                          num_layers=2)
+    # re-init the optimizer for the replaced adapter tree
+    import optax
+
+    from metamorph_tpu.visualizer.train import lr_schedule as lrs
+
+    tx = optax.adamw(lrs(tc.learning_rate, tc.total_steps), weight_decay=0.01)
+    state["opt_adapter"] = tx.init(state["adapter"])
+
+    sig = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 12))
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3)) * 0.5
+    losses = []
+    for i in range(6):
+        state, loss = step(state, sig, imgs, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 1.5  # noisy objective; no blow-up
+
+
+def test_render_pipeline():
+    from metamorph_tpu.visualizer.pipeline import render
+
+    unet_cfg = UNetConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    up = init_unet_params(jax.random.PRNGKey(0), unet_cfg)
+    vp = init_vae_params(jax.random.PRNGKey(1), vae_cfg)
+    ap = init_adapter(jax.random.PRNGKey(2), mode="mlp", input_dim=12,
+                      hidden_dim=16, output_dim=unet_cfg.cross_attention_dim,
+                      num_layers=2)
+    sig = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    img = render(ap, up, vp, unet_cfg, vae_cfg, sig, jax.random.PRNGKey(4),
+                 guidance_scale=7.5, num_inference_steps=3, latent_size=8)
+    assert img.shape == (1, 16, 16, 3)
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
