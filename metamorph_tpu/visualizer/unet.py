@@ -317,7 +317,7 @@ def unet_apply(params: Params, cfg: UNetConfig, sample: jnp.ndarray,
     for blk in params["down"]:
         for i, res in enumerate(blk["resnets"]):
             x = _resnet(res, x, temb, groups)
-            if blk["attns"] is not None:
+            if blk.get("attns") is not None:
                 x = _transformer2d(blk["attns"][i], x, ctx, heads, groups)
             skips.append(x)
         if "downsample" in blk:
@@ -333,7 +333,7 @@ def unet_apply(params: Params, cfg: UNetConfig, sample: jnp.ndarray,
             skip = skips.pop()
             x = jnp.concatenate([x, skip], axis=-1)
             x = _resnet(res, x, temb, groups)
-            if blk["attns"] is not None:
+            if blk.get("attns") is not None:
                 x = _transformer2d(blk["attns"][i], x, ctx, heads, groups)
         if "upsample" in blk:
             x = _upsample(blk["upsample"], x)
