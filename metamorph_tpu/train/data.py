@@ -273,6 +273,14 @@ class LazySupervisedDataset:
         self.line_offsets = self._index_file()
 
     def _index_file(self) -> List[int]:
+        try:
+            from metamorph_tpu.multimodal.native import (jsonl_index_native,
+                                                         native_available)
+
+            if native_available():
+                return jsonl_index_native(self.data_path).tolist()
+        except Exception:
+            pass
         offsets = [0]
         with open(self.data_path, "rb") as f:
             while f.readline():
@@ -412,8 +420,16 @@ class PackedCollator:
                  ) -> Tuple[PackedBatch, np.ndarray]:
         ids = [inst["input_ids"] for inst in instances]
         labels = [inst["labels"] for inst in instances]
-        packed = pack_sequences(ids, labels, self.num_image_tokens,
-                                self.max_seq_len, self.num_image_slots)
+        try:
+            from metamorph_tpu.multimodal.native import (native_available,
+                                                         pack_sequences_native)
+
+            packer = (pack_sequences_native if native_available()
+                      else pack_sequences)
+        except Exception:
+            packer = pack_sequences
+        packed = packer(ids, labels, self.num_image_tokens,
+                        self.max_seq_len, self.num_image_slots)
         pixel_list = []
         for inst in instances:
             if inst["pixels"] is not None:

@@ -1,0 +1,89 @@
+"""Native C++ packer == Python packer (randomized fuzz equivalence), plus the
+native JSONL indexer vs Python file indexing."""
+
+import dataclasses
+import json
+import random
+
+import numpy as np
+import pytest
+
+from metamorph_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX, IM_START_TOKEN_ID
+from metamorph_tpu.multimodal.packing import PackedBatch, pack_sequences
+from metamorph_tpu.multimodal import native
+
+pytestmark = pytest.mark.skipif(not native.native_available(),
+                                reason="no C++ toolchain")
+
+
+def random_batch(rng, B, K, T):
+    ids, labs = [], []
+    n_slots = 0
+    for _ in range(B):
+        row_ids, row_labs = [], []
+        n_img = rng.randint(0, 3)
+        n_slots += max(n_img, 1)
+        row_ids.append(128000)
+        row_labs.append(IGNORE_INDEX)
+        for i in range(n_img):
+            n_text = rng.randint(0, 6)
+            for _ in range(n_text):
+                t = rng.randint(10, 1000)
+                row_ids.append(t)
+                row_labs.append(t if rng.random() < 0.5 else IGNORE_INDEX)
+            answer = rng.random() < 0.5
+            if answer:
+                row_ids.append(IM_START_TOKEN_ID)
+                row_labs.append(IM_START_TOKEN_ID)
+            row_ids.append(IMAGE_TOKEN_INDEX)
+            row_labs.append(IGNORE_INDEX if not answer else 0)
+        for _ in range(rng.randint(1, 8)):
+            t = rng.randint(10, 1000)
+            row_ids.append(t)
+            row_labs.append(t)
+        ids.append(row_ids)
+        labs.append(row_labs)
+    return ids, labs, n_slots
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("side", ["right", "left"])
+def test_fuzz_equivalence(seed, side):
+    rng = random.Random(seed)
+    K, T = rng.choice([(3, 24), (4, 20), (2, 64)])
+    B = rng.randint(1, 5)
+    ids, labs, n_slots = random_batch(rng, B, K, T)
+    N = n_slots + rng.randint(0, 2)
+    py = pack_sequences(ids, labs, K, T, N, side)
+    cc = native.pack_sequences_native(ids, labs, K, T, N, side)
+    for f in dataclasses.fields(PackedBatch):
+        a, b = getattr(py, f.name), getattr(cc, f.name)
+        np.testing.assert_array_equal(a, b, err_msg=f"{f.name} seed={seed}")
+
+
+def test_no_labels_and_overflow():
+    ids = [[1, 2, IMAGE_TOKEN_INDEX, 3]]
+    py = pack_sequences(ids, None, 2, 12, 1)
+    cc = native.pack_sequences_native(ids, None, 2, 12, 1)
+    np.testing.assert_array_equal(py.tokens, cc.tokens)
+
+    with pytest.raises(ValueError):
+        native.pack_sequences_native([[IMAGE_TOKEN_INDEX], [IMAGE_TOKEN_INDEX]],
+                                     None, 2, 8, 1)
+
+
+def test_jsonl_index(tmp_path):
+    path = tmp_path / "x.jsonl"
+    rows = [json.dumps({"i": i, "pad": "y" * (i * 3)}) for i in range(20)]
+    path.write_text("\n".join(rows) + "\n")
+    offs = native.jsonl_index_native(str(path))
+    assert len(offs) == 20
+    with open(path, "rb") as f:
+        for i, off in enumerate(offs):
+            f.seek(off)
+            assert json.loads(f.readline())["i"] == i
+
+    # no trailing newline
+    path2 = tmp_path / "y.jsonl"
+    path2.write_text("\n".join(rows))
+    assert len(native.jsonl_index_native(str(path2))) == 20
