@@ -110,6 +110,89 @@ def preprocess_llama3(
     return {"input_ids": input_ids, "labels": targets}
 
 
+def _mask_rounds(conversations, targets, tokenize, has_image, bos_token_id,
+                 model_max_length, sep2, inst_sep, inst_off, start_len):
+    """Shared round-masking loop for the TWO/LLAMA_2 separator styles
+    (`train.py:374-409` and `:456-494`)."""
+    for conversation, target in zip(conversations, targets):
+        total_len = len(target)
+        rounds = conversation.split(sep2)
+        cur_len = start_len
+        target[:cur_len] = [IGNORE_INDEX] * cur_len
+        for rou in rounds:
+            if rou == "":
+                break
+            parts = rou.split(inst_sep)
+            if len(parts) != 2:
+                break
+            parts[0] += inst_sep
+            round_len = len(_tok(rou, tokenize, has_image, bos_token_id))
+            instruction_len = len(
+                _tok(parts[0], tokenize, has_image, bos_token_id)) - inst_off
+            for t in range(cur_len, min(cur_len + instruction_len, total_len)):
+                target[t] = IGNORE_INDEX
+            cur_len += round_len
+        for t in range(cur_len, total_len):
+            target[t] = IGNORE_INDEX
+        if cur_len < model_max_length and cur_len != total_len:
+            target[:] = [IGNORE_INDEX] * total_len
+            warnings.warn(
+                f"tokenization mismatch: {cur_len} vs. {total_len}. (ignored)")
+
+
+def preprocess_llama_2(
+    sources,
+    tokenize: Tokenize,
+    has_image: bool = False,
+    bos_token_id: int = 128000,
+    model_max_length: int = 4096,
+) -> Dict[str, List[List[int]]]:
+    """LLaMA-2 [INST] template masking (`train.py:335-414`)."""
+    conv = conversation_lib.conv_templates.get("llama_2")
+    if conv is None:
+        from metamorph_tpu.multimodal.conversation import (Conversation,
+                                                           SeparatorStyle)
+
+        conv = Conversation(system="", roles=("USER", "ASSISTANT"), messages=[],
+                            offset=0, sep_style=SeparatorStyle.LLAMA_2,
+                            sep="<s>", sep2="</s>", version="llama_v2")
+    conv = conv.copy()
+    conversations = _apply_template(sources, conv)
+    input_ids = [_tok(p, tokenize, has_image, bos_token_id) for p in conversations]
+    targets = [list(ids) for ids in input_ids]
+    _mask_rounds(conversations, targets, tokenize, has_image, bos_token_id,
+                 model_max_length, sep2=conv.sep2, inst_sep="[/INST] ",
+                 inst_off=2, start_len=1)
+    return {"input_ids": input_ids, "labels": targets}
+
+
+def preprocess_v1(
+    sources,
+    tokenize: Tokenize,
+    has_image: bool = False,
+    bos_token_id: int = 128000,
+    model_max_length: int = 4096,
+) -> Dict[str, List[List[int]]]:
+    """Vicuna-v1 TWO-separator template masking (`train.py:417-499`)."""
+    from metamorph_tpu.multimodal.conversation import (Conversation,
+                                                       SeparatorStyle)
+
+    conv = Conversation(
+        system="A chat between a curious user and an artificial intelligence "
+               "assistant. The assistant gives helpful, detailed, and polite "
+               "answers to the user's questions.",
+        roles=("USER", "ASSISTANT"), messages=[], offset=0,
+        sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="v1")
+    conversations = _apply_template(sources, conv)
+    input_ids = [_tok(p, tokenize, has_image, bos_token_id) for p in conversations]
+    targets = [list(ids) for ids in input_ids]
+    _mask_rounds(conversations, targets, tokenize, has_image, bos_token_id,
+                 model_max_length, sep2=conv.sep2,
+                 inst_sep=conv.sep + conv.roles[1] + ": ",
+                 inst_off=2, start_len=1)
+    return {"input_ids": input_ids, "labels": targets}
+
+
 def preprocess_plain(
     sources,
     tokenize: Tokenize,
@@ -142,4 +225,10 @@ def preprocess(
     if conv_version == "llama3":
         return preprocess_llama3(sources, tokenize, has_image, bos_token_id,
                                  model_max_length)
+    if conv_version.startswith("v1"):
+        return preprocess_v1(sources, tokenize, has_image, bos_token_id,
+                             model_max_length)
+    if conv_version == "llama_2":
+        return preprocess_llama_2(sources, tokenize, has_image, bos_token_id,
+                                  model_max_length)
     raise NotImplementedError(f"template {conv_version}")
