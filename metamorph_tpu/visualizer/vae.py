@@ -97,8 +97,12 @@ def init_vae_params(rng, cfg: VAEConfig, dtype=jnp.float32) -> Params:
     enc["mid"] = {"res1": _init_res(next(keys), ch[-1], ch[-1], dtype),
                   "attn": _init_attn(next(keys), ch[-1], dtype),
                   "res2": _init_res(next(keys), ch[-1], ch[-1], dtype)}
+    enc["quant_conv"] = _conv_init(next(keys), 1, 1, 2 * cfg.latent_channels,
+                                   2 * cfg.latent_channels, dtype)
 
-    dec = {"conv_in": _conv_init(next(keys), 3, 3, cfg.latent_channels, ch[-1], dtype),
+    dec = {"post_quant_conv": _conv_init(next(keys), 1, 1, cfg.latent_channels,
+                                         cfg.latent_channels, dtype),
+           "conv_in": _conv_init(next(keys), 3, 3, cfg.latent_channels, ch[-1], dtype),
            "mid": {"res1": _init_res(next(keys), ch[-1], ch[-1], dtype),
                    "attn": _init_attn(next(keys), ch[-1], dtype),
                    "res2": _init_res(next(keys), ch[-1], ch[-1], dtype)},
@@ -129,13 +133,20 @@ def vae_encode(params: Params, cfg: VAEConfig, images: jnp.ndarray,
         for res in blk["resnets"]:
             x = _res(res, x, g)
         if "downsample" in blk:
-            x = conv2d(blk["downsample"], x, stride=2)
+            # diffusers Downsample2D pads (0,1,0,1) asymmetrically, stride 2
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = jax.lax.conv_general_dilated(
+                x, blk["downsample"]["kernel"], (2, 2), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype) + blk["downsample"]["bias"]
     x = _res(p["mid"]["res1"], x, g)
     x = _attn(p["mid"]["attn"], x, g)
     x = _res(p["mid"]["res2"], x, g)
     x = group_norm(p["norm_out"], x, g)
     x = jax.nn.silu(x.astype(jnp.float32)).astype(images.dtype)
     moments = conv2d(p["conv_out"], x)
+    moments = conv2d(p["quant_conv"], moments, padding=0)
     mean, logvar = jnp.split(moments, 2, axis=-1)
     if rng is not None:
         logvar = jnp.clip(logvar, -30.0, 20.0)
@@ -148,7 +159,8 @@ def vae_decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndar
     """scaled latents -> images [B,H,W,3] in [-1,1]."""
     g = cfg.norm_groups
     p = params["decoder"]
-    x = conv2d(p["conv_in"], latents / cfg.scaling_factor)
+    x = conv2d(p["post_quant_conv"], latents / cfg.scaling_factor, padding=0)
+    x = conv2d(p["conv_in"], x)
     x = _res(p["mid"]["res1"], x, g)
     x = _attn(p["mid"]["attn"], x, g)
     x = _res(p["mid"]["res2"], x, g)
