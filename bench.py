@@ -107,7 +107,8 @@ def main():
     cfg, size = build_cfg()
     n_chips = len(jax.devices())
     log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "
-        f"T={cfg.train.max_seq_len} backend={jax.default_backend()}")
+        f"T={cfg.train.max_seq_len} attn={os.environ.get('BENCH_ATTN', 'flash')} "
+        f"backend={jax.default_backend()}")
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
@@ -117,7 +118,9 @@ def main():
     tx = make_optimizer(cfg.train, params)
     batch, pixels = build_batch(cfg)
 
-    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx), donate_argnums=(0,))
+    attn_impl = os.environ.get("BENCH_ATTN", "flash")
+    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx,
+                                     attn_impl=attn_impl), donate_argnums=(0,))
 
     t0 = time.time()
     state, metrics = step(state, batch, pixels)

