@@ -52,7 +52,7 @@ def build_cfg():
                             intermediate_size=5120, num_layers=12,
                             num_heads=10, num_kv_heads=5, head_dim=128,
                             rope_scaling=False)
-        batch, seqlen = 2, 2048
+        batch, seqlen = 4, 2048
 
     batch = int(os.environ.get("BENCH_BATCH", batch))
     seqlen = int(os.environ.get("BENCH_SEQLEN", seqlen))

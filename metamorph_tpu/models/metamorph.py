@@ -102,6 +102,38 @@ def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.n
     return jnp.where(batch["is_image"][..., None], gathered, text_emb)
 
 
+def _chunked_ce(params: Params, cfg: MetaMorphConfig, hidden: jnp.ndarray,
+                labels: jnp.ndarray, chunk: int = 512) -> jnp.ndarray:
+    """Mean CE over non-IGNORE labels, scanning sequence chunks with remat —
+    each backward step recomputes one [B,chunk,V] logits block instead of
+    holding the full fp32 logits tensor."""
+    B, T, D = hidden.shape
+    chunk = min(chunk, T)
+    n_chunks = -(-T // chunk)
+    pad = n_chunks * chunk - T
+    if pad:
+        hidden = jnp.pad(hidden, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)),
+                         constant_values=IGNORE_INDEX)
+    h_chunks = hidden.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    l_chunks = labels.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def body(carry, inp):
+        total, count = carry
+        h, l = inp
+        logits = llama_lib.lm_head(params["llama"], cfg.llama, h)  # fp32
+        valid = l != IGNORE_INDEX
+        safe = jnp.where(valid, l, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tok = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        return (total - (tok * valid).sum(), count + valid.sum()), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (h_chunks, l_chunks))
+    return total / jnp.maximum(count, 1)
+
+
 def metamorph_forward(
     params: Params,
     cfg: MetaMorphConfig,
@@ -119,17 +151,12 @@ def metamorph_forward(
         batch["position_ids"], batch["attn_mask"],
         attn_impl=attn_impl, remat=remat)
 
-    logits = llama_lib.lm_head(params["llama"], cfg.llama, hidden)  # [B,T,V] fp32
-
     # ---- text CE (shifted) — metamorph_llama.py:401-413 ----
-    shift_logits = logits[:, :-1]
-    shift_labels = batch["labels"][:, 1:]
-    valid = (shift_labels != IGNORE_INDEX)
-    safe_labels = jnp.where(valid, shift_labels, 0)
-    logp = jax.nn.log_softmax(shift_logits, axis=-1)
-    tok_logp = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    # Chunked over the sequence so the fp32 [B,T,128k] logits never
+    # materialize (the reference holds them whole; at B=4,T=4096 that is 8GB).
+    loss_language = _chunked_ce(params, cfg, hidden[:, :-1], batch["labels"][:, 1:])
+    valid = (batch["labels"][:, 1:] != IGNORE_INDEX)
     n_valid = jnp.maximum(valid.sum(), 1)
-    loss_language = -(tok_logp * valid).sum() / n_valid
 
     # ---- image-AR loss — metamorph_llama.py:420-459 ----
     N, K, Dv = targets.shape
