@@ -166,6 +166,7 @@ def greedy_decode(
         "n_ids": state.n_ids,
         "image_embeds": state.img_embeds,
         "n_image_tokens": state.n_img,
+        "steps": state.steps,
     }
 
 
