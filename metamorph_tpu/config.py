@@ -48,6 +48,10 @@ class LlamaConfig:
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
     tie_word_embeddings: bool = False
+    # LoRA (parity with the reference's lora_enable/lora_r/lora_alpha,
+    # train.py:88-93): r > 0 activates the low-rank path in the blocks.
+    lora_r: int = 0
+    lora_alpha: float = 16.0
 
     @staticmethod
     def tiny(vocab_size: int = 128258) -> "LlamaConfig":
@@ -156,6 +160,7 @@ class TrainConfig:
     #   stage2 (full finetune): everything except (optionally) vision tower
     tune_mm_mlp_adapter: bool = False
     freeze_backbone: bool = False
+    lora_enable: bool = False   # train only LoRA factors in the LLM
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
 

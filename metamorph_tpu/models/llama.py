@@ -113,14 +113,23 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
+def _lora_dense(layer: Params, name: str, x, cfg: LlamaConfig):
+    out = x @ layer[name]
+    a = layer.get(f"{name}_lora_a")
+    if a is not None and cfg.lora_r > 0:
+        scale = cfg.lora_alpha / cfg.lora_r
+        out = out + ((x @ a) @ layer[f"{name}_lora_b"]) * scale
+    return out
+
+
 def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
                 cache_kv=None, cache_idx=None):
     """Self-attention for one layer. Returns (out, (k,v)) — k/v for cache writes."""
     B, T, D = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = (x @ layer["wq"]).reshape(B, T, H, Dh)
-    k = (x @ layer["wk"]).reshape(B, T, KV, Dh)
-    v = (x @ layer["wv"]).reshape(B, T, KV, Dh)
+    q = _lora_dense(layer, "wq", x, cfg).reshape(B, T, H, Dh)
+    k = _lora_dense(layer, "wk", x, cfg).reshape(B, T, KV, Dh)
+    v = _lora_dense(layer, "wv", x, cfg).reshape(B, T, KV, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -138,13 +147,14 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
         out = attention(q, k, v, mask=mask, impl=attn_impl)
         new_kv = (k, v)
     out = out.reshape(B, T, H * Dh)
-    return out @ layer["wo"], new_kv
+    return _lora_dense(layer, "wo", out, cfg), new_kv
 
 
-def _mlp_block(layer: Params, x):
-    gate = jax.nn.silu((x @ layer["w_gate"]).astype(jnp.float32)).astype(x.dtype)
-    up = x @ layer["w_up"]
-    return (gate * up) @ layer["w_down"]
+def _mlp_block(layer: Params, x, cfg: LlamaConfig):
+    gate = jax.nn.silu(
+        _lora_dense(layer, "w_gate", x, cfg).astype(jnp.float32)).astype(x.dtype)
+    up = _lora_dense(layer, "w_up", x, cfg)
+    return _lora_dense(layer, "w_down", gate * up, cfg)
 
 
 def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, mask,
@@ -155,7 +165,7 @@ def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, 
                                    cache_kv, cache_idx)
     x = x + attn_out
     h = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    x = x + _mlp_block(mlp_p, h)
+    x = x + _mlp_block(mlp_p, h, cfg)
     return x, new_kv
 
 

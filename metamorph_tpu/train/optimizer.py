@@ -72,6 +72,9 @@ def trainable_mask(params: Any, cfg: TrainConfig) -> Any:
         if cfg.tune_mm_mlp_adapter:
             # stage 1: projector (+ input embeddings for the new image tokens)
             return group == "projector" or ("embed" in names)
+        if cfg.lora_enable and names[0] == "llama":
+            # LoRA: only the low-rank factors move (PEFT path, train.py:1435-1466)
+            return any("_lora_" in n for n in names)
         if cfg.freeze_backbone and names[0] == "llama":
             return False
         if names[0] == "siglip":
