@@ -130,8 +130,14 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
             out[k] = batch_sh if v.ndim == 2 else repl
         return out
 
-    @functools.partial(jax.jit, static_argnums=(), donate_argnums=(0,))
-    def step_fn(state, batch, pixels):
-        return train_step(state, batch, pixels, cfg, tx, attn_impl)
+    if cfg.train.grad_accum_steps > 1:
+        # batch/pixels carry a leading microbatch axis (stacked by the caller)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, batches, pixels):
+            return accum_train_step(state, batches, pixels, cfg, tx, attn_impl)
+    else:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, batch, pixels):
+            return train_step(state, batch, pixels, cfg, tx, attn_impl)
 
     return step_fn, tx, state_shardings, batch_shardings

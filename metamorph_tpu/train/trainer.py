@@ -124,15 +124,29 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
     it = iter(data_iter)
     last_metrics = {}
     try:
+        accum = cfg.train.grad_accum_steps
         while step < cfg.train.total_steps:
-            packed, pixels = next(it)
-            batch = (batch_to_arrays(packed) if isinstance(packed, PackedBatch)
+            micro = []
+            for _ in range(accum):
+                packed, pixels = next(it)
+                b = (batch_to_arrays(packed) if isinstance(packed, PackedBatch)
                      else dict(packed))
-            bs = batch_sh_fn(batch)
+                micro.append((b, np.asarray(pixels)))
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if accum > 1:
+                batch = {k: np.stack([np.asarray(m[0][k]) for m in micro])
+                         for k in micro[0][0]}
+                pixels = np.stack([m[1] for m in micro])
+                # microbatch axis leads; batch dim sharding moves to axis 1
+                bs = {k: (NamedSharding(mesh, P(None, ("data", "fsdp")))
+                          if v.ndim == 3 else NamedSharding(mesh, P()))
+                      for k, v in batch.items()}
+            else:
+                batch, pixels = micro[0]
+                bs = batch_sh_fn(batch)
             batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
-            pixels = jax.device_put(np.asarray(pixels), NamedSharding(mesh, P()))
+            pixels = jax.device_put(pixels, NamedSharding(mesh, P()))
 
             state, m = step_fn(state, batch, pixels)
             step += 1

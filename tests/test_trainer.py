@@ -79,3 +79,11 @@ def test_stage1_adapter_saved(tmp_path):
     args = TrainerArgs(output_dir=str(tmp_path), save_steps=10, resume=False)
     train(cfg, args, FakeData(cfg))
     assert os.path.exists(tmp_path / "mm_projector.safetensors")
+
+
+def test_grad_accum(tmp_path):
+    cfg = tiny_cfg(total_steps=2, grad_accum_steps=2)
+    args = TrainerArgs(output_dir=str(tmp_path), save_steps=10, resume=False)
+    out = train(cfg, args, FakeData(cfg))
+    assert out["step"] == 2
+    assert np.isfinite(out["metrics"]["loss"])
