@@ -57,7 +57,8 @@ def _project_pred(params, cfg: MetaMorphConfig, pred_z: jnp.ndarray) -> jnp.ndar
 
 
 def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
-             h_last: jnp.ndarray, K: int, max_new: int) -> DecodeState:
+             h_last: jnp.ndarray, K: int, max_new: int,
+             stop_ids: tuple = ()) -> DecodeState:
     """Apply the state machine to the hidden state of the newest position."""
     logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)  # [1, V]
     next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [1]
@@ -99,7 +100,7 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
     next_embed = jnp.where(emit_image, prediction, tok_embed)[None]  # [1,1,D]
 
     steps = state.steps + 1
-    is_eos = jnp.isin(tok, jnp.asarray(LLAMA3_EOS_IDS, jnp.int32))
+    is_eos = jnp.isin(tok, jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32))
     buffer_full = n_img >= state.img_embeds.shape[0]
     done = state.done | is_eos | (steps >= max_new) | buffer_full
 
@@ -110,7 +111,7 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
-                                             "max_cache_len"))
+                                             "max_cache_len", "stop_ids"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -118,6 +119,8 @@ def greedy_decode(
     max_new_tokens: int = 256,
     max_images: int = 4,
     max_cache_len: int = 0,
+    stop_ids: tuple = (),         # extra stop token ids (KeywordsStoppingCriteria
+                                  # analog, mm_utils.py:226-258)
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -148,7 +151,7 @@ def greedy_decode(
         done=jnp.asarray(False),
     )
     # first transition comes from the prefill's last hidden state
-    state = _advance(params, cfg, state, h_all[:, -1], K, max_new_tokens)
+    state = _advance(params, cfg, state, h_all[:, -1], K, max_new_tokens, stop_ids)
 
     def cond(s: DecodeState):
         return ~s.done
@@ -158,7 +161,7 @@ def greedy_decode(
         h, cache = llama_lib.decode_step(
             params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len)
         s = s._replace(cache=cache, cache_len=s.cache_len + 1)
-        return _advance(params, cfg, s, h[:, 0], K, max_new_tokens)
+        return _advance(params, cfg, s, h[:, 0], K, max_new_tokens, stop_ids)
 
     state = jax.lax.while_loop(cond, body, state)
     return {
@@ -185,3 +188,15 @@ def generate(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
     embeds = embeds[:, :n]
     return greedy_decode(params, cfg, embeds, max_new_tokens=max_new_tokens,
                          max_images=max_images)
+
+
+def truncate_at_keywords(text: str, keywords) -> str:
+    """Host-side keyword stopping for decoded text — the string-matching half
+    of the reference's KeywordsStoppingCriteria (`mm_utils.py:226-258`). The
+    token-id half is covered by `stop_ids` in `greedy_decode`."""
+    cut = len(text)
+    for kw in keywords:
+        i = text.find(kw)
+        if i != -1:
+            cut = min(cut, i)
+    return text[:cut]

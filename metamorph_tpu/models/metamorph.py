@@ -37,7 +37,7 @@ def init_metamorph_params(rng: jax.Array, cfg: MetaMorphConfig,
     d_vis = cfg.siglip.hidden_size
     if cfg.mm.image_token_reduction == "concat_interpolation":
         d_vis *= 4
-    return {
+    params = {
         "llama": llama_lib.init_llama_params(k1, cfg.llama, dtype),
         "siglip": siglip_lib.init_siglip_params(k2, cfg.siglip, dtype),
         "projector": proj_lib.init_projector(
@@ -46,6 +46,16 @@ def init_metamorph_params(rng: jax.Array, cfg: MetaMorphConfig,
             k4, cfg.mm.vision_head_type, cfg.llama.hidden_size,
             cfg.siglip.hidden_size, dtype),
     }
+    if cfg.mm.image_token_reduction == "mlpmixer":
+        # token/channel mixer reduction (`siglip_encoder.py:100-105,164-168`)
+        km1, km2 = jax.random.split(jax.random.fold_in(rng, 7))
+        T, D = cfg.siglip.num_patches, cfg.siglip.hidden_size
+        params["siglip_mixer"] = {
+            "token_mixer": proj_lib._dense_init(km1, T, cfg.mm.num_image_tokens,
+                                                dtype),
+            "channel_mixer": proj_lib._dense_init(km2, D, D, dtype),
+        }
+    return params
 
 
 def _proj_acts(cfg: MetaMorphConfig):
@@ -69,7 +79,8 @@ def encode_images(params: Params, cfg: MetaMorphConfig, pixels: jnp.ndarray
     targets [N,K,D_vis] detached) — parity with `encode_images`
     (`metamorph_arch.py:140-164`)."""
     feats = siglip_lib.vision_tower_forward(
-        params["siglip"], cfg.siglip, cfg.mm, pixels)
+        params["siglip"], cfg.siglip, cfg.mm, pixels,
+        mixer_params=params.get("siglip_mixer"))
     projected = proj_lib.apply_stack(params["projector"], _proj_acts(cfg), feats)
     targets = jax.lax.stop_gradient(feats)
     return projected, targets

@@ -208,3 +208,47 @@ def get_model_name_from_path(model_path: str) -> str:
     if parts[-1].startswith("checkpoint-"):
         return parts[-2] + "_" + parts[-1]
     return parts[-1]
+
+
+def unpad_image(tensor: np.ndarray, original_size: Tuple[int, int]) -> np.ndarray:
+    """Remove letterbox padding from a [H, W, C] feature map given the original
+    (width, height) — parity with `metamorph_arch.py:99-127` (CHW there)."""
+    ow, oh = original_size
+    ch, cw = tensor.shape[:2]
+    orig_ar, cur_ar = ow / oh, cw / ch
+    if orig_ar > cur_ar:
+        scale = cw / ow
+        nh = int(oh * scale)
+        pad = (ch - nh) // 2
+        return tensor[pad:ch - pad, :, :]
+    scale = ch / oh
+    nw = int(ow * scale)
+    pad = (cw - nw) // 2
+    return tensor[:, pad:cw - pad, :]
+
+
+def merge_anyres_features(features: np.ndarray, image_size: Tuple[int, int],
+                          grid_pinpoints, patch_size: int,
+                          num_patches_per_side: int,
+                          merge_type: str = "spatial",
+                          image_newline: Optional[np.ndarray] = None) -> np.ndarray:
+    """Merge anyres tile features into one token sequence — the
+    `mm_patch_merge_type='spatial[_unpad]'` path (`metamorph_arch.py:203-237`).
+    features: [1 + n_tiles, P*P, D] (global view first)."""
+    base = features[0]
+    tiles = features[1:]
+    s = num_patches_per_side
+    d = features.shape[-1]
+    npw, nph = get_anyres_image_grid_shape(image_size, grid_pinpoints, patch_size)
+    grid = tiles.reshape(nph, npw, s, s, d)
+    if "unpad" in merge_type:
+        # [H_feat, W_feat, D] spatial map, unpad, optional newline column
+        spatial = grid.transpose(0, 2, 1, 3, 4).reshape(nph * s, npw * s, d)
+        spatial = unpad_image(spatial, image_size)
+        if image_newline is not None:
+            col = np.broadcast_to(image_newline, (spatial.shape[0], 1, d))
+            spatial = np.concatenate([spatial, col], axis=1)
+        merged = spatial.reshape(-1, d)
+    else:
+        merged = grid.transpose(0, 2, 1, 3, 4).reshape(-1, d)
+    return np.concatenate([base, merged], axis=0)

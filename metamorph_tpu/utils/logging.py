@@ -100,3 +100,39 @@ class MetricsLogger:
             self._f.close()
         if self.wandb:
             self.wandb.finish()
+
+
+def violates_moderation(text: str, endpoint: Optional[str] = None) -> bool:
+    """Moderation check (parity surface for `utils.py:108-126`). Offline /
+    zero-egress deployments return False; set `endpoint` to enable."""
+    if not endpoint:
+        return False
+    try:
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            endpoint, data=_json.dumps({"input": text}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return bool(_json.load(r).get("flagged", False))
+    except Exception:
+        return False
+
+
+def profile_trace(log_dir: str):
+    """Context manager: capture a jax.profiler trace (SURVEY §5.1 — the
+    reference has no tracing; this feeds xprof/tensorboard)."""
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def cm():
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    return cm()

@@ -108,3 +108,31 @@ def test_tokenizer_image_token_matches_reference():
 def test_model_name_from_path():
     assert get_model_name_from_path("/a/b/model-x") == "model-x"
     assert get_model_name_from_path("/a/model-x/checkpoint-100") == "model-x_checkpoint-100"
+
+
+def test_unpad_image():
+    from metamorph_tpu.multimodal.mm_utils import unpad_image
+
+    # wide original image (1000x300): vertical letterbox removed
+    feat = np.arange(10 * 10 * 2, dtype=np.float32).reshape(10, 10, 2)
+    out = unpad_image(feat, (1000, 300))
+    assert out.shape[1] == 10 and out.shape[0] < 10
+    # tall original
+    out2 = unpad_image(feat, (300, 1000))
+    assert out2.shape[0] == 10 and out2.shape[1] < 10
+
+
+def test_merge_anyres_features():
+    from metamorph_tpu.multimodal.mm_utils import merge_anyres_features
+
+    s, d = 4, 8  # 4x4 patches per tile
+    feats = np.random.default_rng(0).normal(size=(1 + 3, s * s, d)).astype(np.float32)
+    merged = merge_anyres_features(
+        feats, (1000, 300), [(1152, 384), (384, 768)], 384, s, "spatial")
+    assert merged.shape == (s * s + 3 * s * s, d)
+    merged_unpad = merge_anyres_features(
+        feats, (1000, 300), [(1152, 384), (384, 768)], 384, s, "spatial_unpad",
+        image_newline=np.zeros(d, np.float32))
+    # 3x1 tile grid -> 4x12 spatial map; unpad rounds to 0 rows removed here,
+    # newline adds one column: 16 base + 4*(12+1)
+    assert merged_unpad.shape == (16 + 4 * 13, d)
