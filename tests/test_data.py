@@ -143,3 +143,19 @@ def test_modality_grouping():
         pair = idx[s:s + 2]
         signs = {lengths[i] > 0 for i in pair}
         assert len(signs) == 1  # single modality per batch
+
+
+def test_prefetcher():
+    from metamorph_tpu.train.prefetch import Prefetcher
+
+    out = list(Prefetcher(iter(range(10)), depth=3, transform=lambda x: x * 2))
+    assert out == [x * 2 for x in range(10)]
+
+    def boom():
+        yield 1
+        raise ValueError("bad")
+
+    p = Prefetcher(boom())
+    assert next(p) == 1
+    with pytest.raises(ValueError):
+        next(p)
