@@ -158,7 +158,7 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
 # ---------------------------------------------------------------------------
 
 def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, block_q, block_k, n_k, causal):
+                   dlse_ref, dq_ref, dq_acc, *, scale, block_q, block_k, n_k, causal):
     b, h, iq, jk = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
                     pl.program_id(3))
 
@@ -193,7 +193,9 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        # dlse: cotangent of the logsumexp output (ring-attention combines);
+        # d lse_i / d s_ij = p_ij, so it folds into the ds term
+        ds = p * (dp - delta + dlse_ref[0, 0]) * scale
         dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
@@ -203,7 +205,7 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    dlse_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                     *, scale, block_q, block_k, n_q, causal):
     b, h, jk, iq = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
                     pl.program_id(3))
@@ -243,7 +245,9 @@ def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
                                            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        # dlse: cotangent of the logsumexp output (ring-attention combines);
+        # d lse_i / d s_ij = p_ij, so it folds into the ds term
+        ds = p * (dp - delta + dlse_ref[0, 0]) * scale
         dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
@@ -255,7 +259,10 @@ def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
 
 def _bwd(causal, block_q, block_k, scale_opt, res, g):
     q, k, v, lengths, o, lse = res
-    do, _ = g
+    do, dlse = g
+    if dlse is None:
+        dlse = jnp.zeros_like(lse)
+    dlse = dlse.astype(jnp.float32)
     B, H, T, Dh = q.shape
     KV, S = k.shape[1], k.shape[2]
     group = H // KV
@@ -278,6 +285,7 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
                 pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, i, j, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, Dh),
                                    lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -287,7 +295,7 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, k, v, do, lse, delta, dlse)
 
     # dk/dv per q-head, folded onto kv heads afterwards (cheap XLA reduce)
     dk_h, dv_h = pl.pallas_call(
@@ -303,6 +311,7 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
                 pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, j, i, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
                 pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, j, i, *_: (b, h, j, 0)),
@@ -316,7 +325,7 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, k, v, do, lse, delta, dlse)
 
     dk = dk_h.reshape(B, KV, group, S, Dh).sum(axis=2).astype(k.dtype)
     dv = dv_h.reshape(B, KV, group, S, Dh).sum(axis=2).astype(v.dtype)
@@ -326,8 +335,9 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _flash(q, k, v, lengths, causal, block_q, block_k, block_q_bwd,
            block_k_bwd, scale_opt):
-    o, _ = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)[0]
-    return o
+    """Returns (o, lse [B,H,T,1]); both differentiable (the lse cotangent
+    feeds ring-attention chunk combining)."""
+    return _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)[0]
 
 
 def _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt):
@@ -338,13 +348,12 @@ def _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt):
 
 def _flash_fwd_rule(q, k, v, lengths, causal, block_q, block_k, block_q_bwd,
                     block_k_bwd, scale_opt):
-    (o, lse), res = _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)
-    return o, res
+    return _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt)
 
 
 def _flash_bwd_rule(causal, block_q, block_k, block_q_bwd, block_k_bwd,
-                    scale_opt, res, do):
-    return _bwd(causal, block_q_bwd, block_k_bwd, scale_opt, res, (do, None))
+                    scale_opt, res, g):
+    return _bwd(causal, block_q_bwd, block_k_bwd, scale_opt, res, g)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -377,6 +386,20 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    o = _flash(qt, kt, vt, lengths, causal, block_q, block_k,
-               block_q_bwd, block_k_bwd, scale)
+    o, _ = _flash(qt, kt, vt, lengths, causal, block_q, block_k,
+                  block_q_bwd, block_k_bwd, scale)
     return o.transpose(0, 2, 1, 3)
+
+
+def flash_attention_with_lse(q, k, v, lengths=None, causal=True,
+                             block_q=512, block_k=512, block_q_bwd=512,
+                             block_k_bwd=1024, scale=None):
+    """Kernel-layout entry ([B,H,T,Dh]) returning (o, lse [B,H,T]); both
+    outputs differentiable. Building block for ring attention."""
+    B, H, T, Dh = q.shape
+    S = k.shape[2]
+    if lengths is None:
+        lengths = jnp.full((B,), S, jnp.int32)
+    o, lse = _flash(q, k, v, lengths, causal, min(block_q, T), min(block_k, S),
+                    min(block_q_bwd, T), min(block_k_bwd, S), scale)
+    return o, lse[..., 0]
