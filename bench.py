@@ -62,7 +62,8 @@ def build_cfg():
         mm=MultimodalConfig(num_image_tokens=64),
         train=TrainConfig(max_seq_len=seqlen, batch_size=batch,
                           max_images_per_batch=2 * batch, remat=True,
-                          total_steps=1000, learning_rate=1e-5),
+                          total_steps=1000, learning_rate=1e-5,
+                          offload_optimizer=bool(int(os.environ.get("BENCH_OFFLOAD", "0")))),
     )
     return cfg, size
 
@@ -157,13 +158,25 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     log(f"params: {n_params/1e9:.3f}B total")
 
-    state = init_train_state(params, cfg)
-    tx = make_optimizer(cfg.train, params)
-    batch, pixels = build_batch(cfg)
-
     attn_impl = os.environ.get("BENCH_ATTN", "flash")
-    step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx,
-                                     attn_impl=attn_impl), donate_argnums=(0,))
+    if cfg.train.offload_optimizer:
+        from metamorph_tpu.config import MeshConfig
+        from metamorph_tpu.parallel.mesh import build_mesh
+        from metamorph_tpu.train.train_step import make_sharded_train_step
+
+        mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=1),
+                          devices=jax.devices()[:1])
+        step, tx, state_sh, _ = make_sharded_train_step(
+            cfg, mesh, params, attn_impl=attn_impl)
+        state = {"params": params,
+                 "opt_state": jax.device_put(tx.init(params), state_sh["opt_state"]),
+                 "step": jnp.zeros((), jnp.int32)}
+    else:
+        state = init_train_state(params, cfg)
+        tx = make_optimizer(cfg.train, params)
+        step = jax.jit(functools.partial(train_step, cfg=cfg, tx=tx,
+                                         attn_impl=attn_impl), donate_argnums=(0,))
+    batch, pixels = build_batch(cfg)
 
     t0 = time.time()
     state, metrics = step(state, batch, pixels)

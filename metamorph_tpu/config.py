@@ -161,6 +161,9 @@ class TrainConfig:
     tune_mm_mlp_adapter: bool = False
     freeze_backbone: bool = False
     lora_enable: bool = False   # train only LoRA factors in the LLM
+    # ZeRO-3-offload analog (`scripts/zero3_offload.json`): keep Adam moments
+    # in pinned host memory; XLA streams them over PCIe per step.
+    offload_optimizer: bool = False
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
 

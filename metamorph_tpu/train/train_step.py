@@ -112,10 +112,17 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
     opt_specs = jax.tree.map(
         lambda l: shape_to_spec.get(tuple(l.shape), P()), opt_state_template)
 
+    opt_kind = "pinned_host" if cfg.train.offload_optimizer else None
+
+    def opt_sharding(s):
+        if opt_kind:
+            return NamedSharding(mesh, s, memory_kind=opt_kind)
+        return NamedSharding(mesh, s)
+
     state_shardings = {
         "params": jax.tree.map(lambda s: NamedSharding(mesh, s), param_specs,
                                is_leaf=lambda x: isinstance(x, P)),
-        "opt_state": jax.tree.map(lambda s: NamedSharding(mesh, s), opt_specs,
+        "opt_state": jax.tree.map(opt_sharding, opt_specs,
                                   is_leaf=lambda x: isinstance(x, P)),
         "step": NamedSharding(mesh, P()),
     }
@@ -130,14 +137,33 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
             out[k] = batch_sh if v.ndim == 2 else repl
         return out
 
+    # pin the state's placement (incl. host-offloaded opt moments) across steps
+    jit_kw = dict(donate_argnums=(0,),
+                  in_shardings=(state_shardings, None, None),
+                  out_shardings=(state_shardings, None))
+
+    if opt_kind:
+        # explicit host->device transfer before the update; out_shardings
+        # stream the new moments back to pinned host
+        opt_dev_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), opt_specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+        def fetch_opt(state):
+            return {**state, "opt_state": jax.tree.map(
+                jax.device_put, state["opt_state"], opt_dev_sh)}
+    else:
+        def fetch_opt(state):
+            return state
+
     if cfg.train.grad_accum_steps > 1:
         # batch/pixels carry a leading microbatch axis (stacked by the caller)
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, **jit_kw)
         def step_fn(state, batches, pixels):
-            return accum_train_step(state, batches, pixels, cfg, tx, attn_impl)
+            return accum_train_step(fetch_opt(state), batches, pixels, cfg, tx,
+                                    attn_impl)
     else:
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit, **jit_kw)
         def step_fn(state, batch, pixels):
-            return train_step(state, batch, pixels, cfg, tx, attn_impl)
+            return train_step(fetch_opt(state), batch, pixels, cfg, tx, attn_impl)
 
     return step_fn, tx, state_shardings, batch_shardings
