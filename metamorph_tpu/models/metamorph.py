@@ -154,13 +154,19 @@ def metamorph_forward(
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Training forward: fused multimodal sequence -> (total_loss, metrics)."""
+    from jax.sharding import PartitionSpec as P
+
+    from metamorph_tpu.parallel.context import constrain
+
     projected, targets = encode_images(params, cfg, pixels)
     embeds = fuse_embeddings(params, cfg, batch, projected)
+    embeds = constrain(embeds, P(("data", "fsdp"), None, None))
 
     hidden = llama_lib.llama_forward(
         params["llama"], cfg.llama, embeds,
         batch["position_ids"], batch["attn_mask"],
         attn_impl=attn_impl, remat=remat)
+    hidden = constrain(hidden, P(("data", "fsdp"), None, None))
 
     # ---- text CE (shifted) — metamorph_llama.py:401-413 ----
     # Chunked over the sequence so the fp32 [B,T,128k] logits never

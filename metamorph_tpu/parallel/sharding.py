@@ -79,14 +79,18 @@ def partition_specs(params: Any, mesh: Mesh) -> Any:
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
     def spec(path, leaf):
-        s = _spec_for_path(_path_to_str(path), np.ndim(leaf))
+        # works for arrays AND ShapeDtypeStructs (eval_shape templates, e.g.
+        # optimizer-state trees whose paths end in the param path under mu/nu)
+        shape = tuple(getattr(leaf, "shape", np.shape(leaf)))
+        ndim = len(shape)
+        s = _spec_for_path(_path_to_str(path), ndim)
         fixed = []
-        for dim, ax in enumerate(tuple(s) + (None,) * (np.ndim(leaf) - len(s))):
+        for dim, ax in enumerate(tuple(s) + (None,) * (ndim - len(s))):
             if ax is None:
                 fixed.append(None)
                 continue
             size = axis_sizes.get(ax, 1)
-            fixed.append(ax if np.shape(leaf)[dim] % size == 0 else None)
+            fixed.append(ax if shape[dim] % size == 0 else None)
         return P(*fixed)
 
     return jax.tree_util.tree_map_with_path(spec, params)

@@ -95,22 +95,18 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
     """
     tx = make_optimizer(cfg.train, params_template)
 
+    from metamorph_tpu.parallel.context import set_current_mesh
+
+    set_current_mesh(mesh)
+
     param_specs = partition_specs({"__root__": params_template}, mesh)["__root__"]
     # opt_state mirrors param sharding; scalars replicated
     opt_state_template = jax.eval_shape(tx.init, params_template)
 
-    def opt_spec(leaf):
-        # match leaves of opt state to param specs by shape: moments share shape
-        return None  # resolved below via tree structure
-
-    # Build opt-state specs: any leaf whose shape matches a param leaf gets that
-    # param's spec (adam m/v); everything else replicated.
-    shape_to_spec = {}
-    for p_leaf, spec in zip(jax.tree.leaves(params_template),
-                            jax.tree.leaves(param_specs, is_leaf=lambda x: isinstance(x, P))):
-        shape_to_spec[jnp.shape(p_leaf)] = spec
-    opt_specs = jax.tree.map(
-        lambda l: shape_to_spec.get(tuple(l.shape), P()), opt_state_template)
+    # Optimizer-state specs: the moment trees nest the param tree under
+    # mu/nu, so the same suffix-matched path rules resolve their shardings
+    # (shape-based matching is ambiguous — distinct params can share shapes).
+    opt_specs = partition_specs(opt_state_template, mesh)
 
     opt_kind = "pinned_host" if cfg.train.offload_optimizer else None
 
