@@ -136,6 +136,41 @@ def bench_decode(cfg, size):
     }))
 
 
+def bench_encode(cfg, size):
+    """Fused preprocess+encode images/sec/chip (BASELINE metric 2): uint8
+    frames -> on-device resize+normalize -> SigLIP SO400M -> 64 tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.models.siglip import init_siglip_params, vision_tower_forward
+    from metamorph_tpu.ops.preprocess import fused_resize_normalize
+
+    params = init_siglip_params(jax.random.PRNGKey(0), cfg.siglip, jnp.bfloat16)
+    N = int(os.environ.get("BENCH_IMAGES", 32))
+    frames = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (N, 480, 640, 3)).astype(np.uint8))
+
+    @jax.jit
+    def run(frames):
+        px = fused_resize_normalize(frames, cfg.siglip.image_size)
+        return vision_tower_forward(params, cfg.siglip, cfg.mm, px)
+
+    jax.block_until_ready(run(frames))
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        out = run(frames)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    img_s = N * reps / dt
+    print(json.dumps({
+        "metric": "SigLIP preprocess+encode images/sec/chip (SO400M, 480x640 uint8 in)",
+        "value": round(img_s, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s / 100.0, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -148,6 +183,9 @@ def main():
     cfg, size = build_cfg()
     if os.environ.get("BENCH_MODE") == "decode":
         bench_decode(cfg, size)
+        return
+    if os.environ.get("BENCH_MODE") == "encode":
+        bench_encode(cfg, size)
         return
     n_chips = len(jax.devices())
     log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "
