@@ -171,9 +171,25 @@ def bench_encode(cfg, size):
     }))
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeated bench runs (and the driver's)
+    skip the remote-compile round trip, which can be minutes when cold."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/metamorph_tpu_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from metamorph_tpu.models.metamorph import init_metamorph_params
     from metamorph_tpu.train.optimizer import make_optimizer

@@ -124,3 +124,20 @@ def test_gradients_flow(params):
     assert float(jnp.abs(g["vision_head"]["w0"]["kernel"]).max()) > 0
     assert float(jnp.abs(g["llama"]["layers"]["attn"]["wq"]).max()) > 0
     assert float(jnp.abs(g["siglip"]["patch_embed"]["kernel"]).max()) == 0.0
+
+
+def test_losses_module():
+    from metamorph_tpu.models import losses as LS
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(5, 8)).astype(np.float32))
+    assert float(LS.l1_loss(z, z)) == 0.0
+    assert float(LS.cosine_loss(z, z)) == pytest.approx(-1.0, abs=1e-5)
+    assert float(LS.smooth_l1_loss(z, h)) > 0
+    # infonce: identical target/pred rows should beat shuffled ones
+    good = float(LS.infonce_loss(z, z))
+    bad = float(LS.infonce_loss(z, jnp.roll(z, 1, axis=0)))
+    assert good < bad
+    p = jax.nn.softmax(z, axis=-1)
+    assert np.isfinite(float(LS.soft_ce_loss(p, p)))
