@@ -70,9 +70,9 @@ def attention(
     impl="flash": Pallas TPU flash-attention kernel (training shapes).
     """
     if impl == "flash":
-        from metamorph_tpu.ops.flash_attention import flash_attention
+        from metamorph_tpu.ops.flash_attention import flash_attention_sharded
 
-        return flash_attention(q, k, v, attn_mask=attn_mask, causal=causal)
+        return flash_attention_sharded(q, k, v, attn_mask=attn_mask, causal=causal)
     if mask is None and attn_mask is not None and causal:
         mask = make_causal_mask(attn_mask)
     return dot_product_attention(q, k, v, mask=mask)

@@ -403,3 +403,55 @@ def flash_attention_with_lse(q, k, v, lengths=None, causal=True,
     o, lse = _flash(q, k, v, lengths, causal, min(block_q, T), min(block_k, S),
                     min(block_q_bwd, T), min(block_k_bwd, S), scale)
     return o, lse[..., 0]
+
+
+def flash_attention_sharded(
+    q: jnp.ndarray,                     # [B, T, H, Dh]
+    k: jnp.ndarray,                     # [B, S, KV, Dh]
+    v: jnp.ndarray,
+    attn_mask: Optional[jnp.ndarray] = None,
+    causal: bool = True,
+    **kw,
+) -> jnp.ndarray:
+    """Multichip entry: when a mesh is registered (parallel.context), wrap the
+    kernel in shard_map — batch over (data, fsdp), heads over tensor — so
+    GSPMD keeps shards local instead of replicating around the opaque
+    pallas_call. Falls back to the plain kernel without a mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from metamorph_tpu.parallel.context import get_current_mesh
+
+    mesh = get_current_mesh()
+    if mesh is None:
+        return flash_attention(q, k, v, attn_mask=attn_mask, causal=causal, **kw)
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    dp = tuple(a for a in ("data", "fsdp") if sizes.get(a, 1) > 1)
+    tp = "tensor" if sizes.get("tensor", 1) > 1 else None
+    B, H, KV = q.shape[0], q.shape[2], k.shape[2]
+    dp_size = 1
+    for a in dp:
+        dp_size *= sizes[a]
+    # only shard dims that divide evenly; otherwise drop that axis
+    if B % max(dp_size, 1) != 0:
+        dp = ()
+    if tp and (H % sizes["tensor"] != 0 or KV % sizes["tensor"] != 0):
+        tp = None
+    if not dp and not tp:
+        return flash_attention(q, k, v, attn_mask=attn_mask, causal=causal, **kw)
+
+    bspec = dp if dp else None
+    q_spec = P(bspec, None, tp, None)
+    kv_spec = P(bspec, None, tp, None)
+    mask_spec = P(bspec)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(q_spec, kv_spec, kv_spec, mask_spec),
+        out_specs=q_spec, check_vma=False)
+    def mapped(q, k, v, m):
+        return flash_attention(q, k, v, attn_mask=m, causal=causal, **kw)
+
+    if attn_mask is None:
+        attn_mask = jnp.ones((B, k.shape[1]), jnp.int32)
+    return mapped(q, k, v, attn_mask)
