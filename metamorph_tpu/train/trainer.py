@@ -111,8 +111,20 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
     tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
     n_chips = len(jax.devices())
 
-    def save(step):
+    # prefetch on a background thread; each item carries the iterator state
+    # *at production time* so resume replays from the right position even with
+    # batches in flight
+    from metamorph_tpu.train.prefetch import Prefetcher
+
+    def _with_state(item):
         ds = data_iter.state_dict() if hasattr(data_iter, "state_dict") else None
+        return item, ds
+
+    prefetch = Prefetcher(iter(data_iter), depth=2, transform=_with_state)
+    consumed_data_state = [None]
+
+    def save(step):
+        ds = consumed_data_state[0]
         ckpt_lib.save_train_state(args.output_dir, step, state, cfg.to_json(), ds)
         ckpt_lib.prune_checkpoints(args.output_dir, args.save_total_limit)
         if cfg.train.tune_mm_mlp_adapter:
@@ -121,14 +133,15 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
                 jax.device_get(state["params"]))
 
     step = start_step
-    it = iter(data_iter)
+    it = prefetch
     last_metrics = {}
     try:
         accum = cfg.train.grad_accum_steps
         while step < cfg.train.total_steps:
             micro = []
             for _ in range(accum):
-                packed, pixels = next(it)
+                (packed, pixels), ds = next(it)
+                consumed_data_state[0] = ds
                 b = (batch_to_arrays(packed) if isinstance(packed, PackedBatch)
                      else dict(packed))
                 micro.append((b, np.asarray(pixels)))
