@@ -116,3 +116,51 @@ def test_sharded_step_matches_single_device():
     for a, b in zip(l1, l2):
         # fp32 reduction-order differences across shards, amplified by adam rsqrt
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="pinned_host placement custom-call is TPU-only "
+                           "(verified on-chip: see commit for the TPU run)")
+def test_offload_optimizer_step():
+    """Host-offloaded Adam moments (ZeRO-3-offload analog) step correctly and
+    match the on-device optimizer numerically."""
+    from metamorph_tpu.parallel.mesh import build_mesh
+
+    base = tiny_cfg()
+    off = tiny_cfg(offload_optimizer=True)
+    params = M.init_metamorph_params(jax.random.PRNGKey(3), base, dtype=jnp.float32)
+    batch, pixels = make_batch(base)
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=1),
+                      devices=jax.devices()[:1])
+
+    results = {}
+    for name, cfg in (("device", base), ("host", off)):
+        step_fn, tx, state_sh, bs_fn = make_sharded_train_step(cfg, mesh, params)
+        state = {"params": params,
+                 "opt_state": jax.device_put(tx.init(params), state_sh["opt_state"]),
+                 "step": jnp.zeros((), jnp.int32)}
+        bs = bs_fn(batch)
+        b = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+        for _ in range(2):
+            state, m = step_fn(state, b, pixels)
+        results[name] = (state, float(m["loss"]))
+
+    assert results["host"][1] == results["device"][1]
+    kinds = {l.sharding.memory_kind
+             for l in jax.tree.leaves(results["host"][0]["opt_state"])
+             if hasattr(l, "sharding")}
+    assert "pinned_host" in kinds
+    for a, b in zip(jax.tree.leaves(results["device"][0]["params"]),
+                    jax.tree.leaves(results["host"][0]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_bf16_forward_finite():
+    cfg = tiny_cfg()
+    params = M.init_metamorph_params(jax.random.PRNGKey(4), cfg, dtype=jnp.bfloat16)
+    batch, pixels = make_batch(cfg)
+    from metamorph_tpu.models.metamorph import metamorph_forward
+
+    total, metrics = metamorph_forward(params, cfg, batch, pixels)
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(metrics["loss_image_ar"]))
