@@ -36,6 +36,7 @@ from metamorph_tpu.models import projector as proj_lib
 
 
 class DecodeState(NamedTuple):
+    rng: jax.Array
     cache: Dict[str, jnp.ndarray]
     cache_len: jnp.ndarray        # int32 — tokens currently in cache
     next_embed: jnp.ndarray       # [1, 1, D] — input for the next step
@@ -56,12 +57,31 @@ def _project_pred(params, cfg: MetaMorphConfig, pred_z: jnp.ndarray) -> jnp.ndar
     return proj_lib.apply_stack(params["projector"], acts, pred_z.astype(dtype))
 
 
+def _sample_token(rng, logits, temperature: float, top_p: float):
+    """Temperature + nucleus sampling (the reference exposes sampling through
+    its HF-generate fallback, metamorph_llama.py:712-717)."""
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # keep at least 1
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
 def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
              h_last: jnp.ndarray, K: int, max_new: int,
-             stop_ids: tuple = ()) -> DecodeState:
+             stop_ids: tuple = (), do_sample: bool = False,
+             temperature: float = 1.0, top_p: float = 1.0) -> DecodeState:
     """Apply the state machine to the hidden state of the newest position."""
     logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)  # [1, V]
-    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)      # [1]
+    rng, k_sample = jax.random.split(state.rng)
+    if do_sample:
+        next_token = _sample_token(k_sample, logits, temperature, top_p)
+    else:
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [1]
     tok = next_token[0]
 
     pred_z = mm_lib.apply_vision_head(params, cfg, h_last)           # [1, Dv] fp32
@@ -105,13 +125,14 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
     done = state.done | is_eos | (steps >= max_new) | buffer_full
 
     return DecodeState(
-        cache=state.cache, cache_len=state.cache_len, next_embed=next_embed,
-        in_image=in_image, img_count=img_count, ids=ids, n_ids=n_ids,
-        img_embeds=img_embeds, n_img=n_img, steps=steps, done=done)
+        rng=rng, cache=state.cache, cache_len=state.cache_len,
+        next_embed=next_embed, in_image=in_image, img_count=img_count, ids=ids,
+        n_ids=n_ids, img_embeds=img_embeds, n_img=n_img, steps=steps, done=done)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
-                                             "max_cache_len", "stop_ids"))
+                                             "max_cache_len", "stop_ids",
+                                             "do_sample", "temperature", "top_p"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -121,6 +142,10 @@ def greedy_decode(
     max_cache_len: int = 0,
     stop_ids: tuple = (),         # extra stop token ids (KeywordsStoppingCriteria
                                   # analog, mm_utils.py:226-258)
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    sample_rng: jax.Array | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -138,6 +163,7 @@ def greedy_decode(
         jnp.ones((1, T0), jnp.int32), cache)
 
     state = DecodeState(
+        rng=sample_rng if sample_rng is not None else jax.random.PRNGKey(0),
         cache=cache,
         cache_len=jnp.int32(T0),
         next_embed=jnp.zeros((1, 1, D), dtype),
@@ -151,7 +177,8 @@ def greedy_decode(
         done=jnp.asarray(False),
     )
     # first transition comes from the prefill's last hidden state
-    state = _advance(params, cfg, state, h_all[:, -1], K, max_new_tokens, stop_ids)
+    state = _advance(params, cfg, state, h_all[:, -1], K, max_new_tokens,
+                     stop_ids, do_sample, temperature, top_p)
 
     def cond(s: DecodeState):
         return ~s.done
@@ -161,7 +188,8 @@ def greedy_decode(
         h, cache = llama_lib.decode_step(
             params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len)
         s = s._replace(cache=cache, cache_len=s.cache_len + 1)
-        return _advance(params, cfg, s, h[:, 0], K, max_new_tokens, stop_ids)
+        return _advance(params, cfg, s, h[:, 0], K, max_new_tokens, stop_ids,
+                        do_sample, temperature, top_p)
 
     state = jax.lax.while_loop(cond, body, state)
     return {

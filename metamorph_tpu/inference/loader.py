@@ -133,3 +133,19 @@ def save_visualizer(ckpt_dir: str, adapter, unet, vae, unet_cfg, vae_cfg,
         json.dump({"unet": dataclasses.asdict(unet_cfg),
                    "vae": dataclasses.asdict(vae_cfg),
                    "adapter_mode": adapter_mode}, f, indent=2)
+
+
+def load_lora_model(model_path: str, lora_path: str, r: int, alpha: float,
+                    dtype=None, hf_siglip_path=None):
+    """Load a base export + LoRA factors and merge-and-unload — the reference
+    loader's 'lora' branch (`model/builder.py:39-73`)."""
+    from metamorph_tpu.models.lora import merge_lora
+    from metamorph_tpu.train.checkpoint import load_lora
+
+    import jax.numpy as jnp
+
+    params, cfg = load_pretrained_model(model_path, dtype=dtype or jnp.bfloat16,
+                                        hf_siglip_path=hf_siglip_path)
+    params = load_lora(lora_path, params)
+    params["llama"] = merge_lora(params["llama"], r=r, alpha=alpha)
+    return params, cfg

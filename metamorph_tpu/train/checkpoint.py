@@ -191,3 +191,38 @@ class PreemptionSaver:
 
     def should_save(self) -> bool:
         return self.requested.is_set()
+
+
+# ---------------------------------------------------------------------------
+# LoRA saves — the reference's lora-split final save (train.py:1602-1612)
+# ---------------------------------------------------------------------------
+
+def save_lora(path: str, params: Any):
+    """Save only LoRA factor leaves as flat safetensors."""
+    from safetensors.numpy import save_file
+
+    from metamorph_tpu.inference.loader import flatten_tree
+    from metamorph_tpu.models.lora import split_lora_state
+
+    lora = split_lora_state(jax.device_get(params["llama"]))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    save_file(flatten_tree({"llama": lora}), path)
+
+
+def load_lora(path: str, params: Any) -> Any:
+    """Load LoRA factors into a param tree (adding the leaves)."""
+    from safetensors.numpy import load_file
+
+    from metamorph_tpu.inference.loader import unflatten_tree
+
+    import jax.numpy as jnp
+
+    flat = load_file(path)
+    lora = unflatten_tree(flat)["llama"]["layers"]
+    out = dict(params)
+    out["llama"] = dict(params["llama"])
+    layers = {k: dict(v) for k, v in params["llama"]["layers"].items()}
+    for sub, tree in lora.items():
+        layers[sub].update({k: jnp.asarray(v) for k, v in tree.items()})
+    out["llama"]["layers"] = layers
+    return out

@@ -131,6 +131,10 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
             ckpt_lib.save_adapter(
                 os.path.join(args.output_dir, "mm_projector.safetensors"),
                 jax.device_get(state["params"]))
+        if cfg.train.lora_enable:
+            ckpt_lib.save_lora(
+                os.path.join(args.output_dir, "lora.safetensors"),
+                state["params"])
 
     step = start_step
     it = prefetch

@@ -130,3 +130,25 @@ def test_forced_image_mode(params):
     assert int(out["n_image_tokens"]) == len(ref_imgs)
     # the machine must have emitted exactly K continuous tokens per image cycle
     assert len(ref_imgs) % K == 0
+
+
+def test_sampling_decode(params):
+    """do_sample with temperature/top_p runs and differs across seeds; at
+    near-zero temperature it reproduces greedy."""
+    rng = np.random.default_rng(3)
+    prompt = L.embed_tokens(params["llama"],
+                            jnp.asarray(rng.integers(10, 1000, (1, 4)), jnp.int32))
+    greedy = greedy_decode(params, CFG, prompt, max_new_tokens=8, max_images=1)
+    cold = greedy_decode(params, CFG, prompt, max_new_tokens=8, max_images=1,
+                         do_sample=True, temperature=1e-4,
+                         sample_rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(greedy["ids"]), np.asarray(cold["ids"]))
+
+    hot1 = greedy_decode(params, CFG, prompt, max_new_tokens=8, max_images=1,
+                         do_sample=True, temperature=2.0, top_p=0.9,
+                         sample_rng=jax.random.PRNGKey(1))
+    hot2 = greedy_decode(params, CFG, prompt, max_new_tokens=8, max_images=1,
+                         do_sample=True, temperature=2.0, top_p=0.9,
+                         sample_rng=jax.random.PRNGKey(2))
+    assert int(hot1["n_ids"]) > 0
+    assert not np.array_equal(np.asarray(hot1["ids"]), np.asarray(hot2["ids"]))

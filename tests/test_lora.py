@@ -84,3 +84,35 @@ def test_split_lora_state():
     names = [k for sub in split["layers"].values() for k in sub]
     assert all("_lora_" in n for n in names)
     assert len(names) == 14  # 7 targets x (a, b)
+
+
+def test_lora_save_load_merge(tmp_path):
+    from metamorph_tpu.train.checkpoint import load_lora, save_lora
+
+    cfg, base = make()
+    p = lora_lib.add_lora(base, jax.random.PRNGKey(1), r=4)
+    # make the factors non-trivial
+    key = jax.random.PRNGKey(9)
+    for sub in p["layers"]:
+        for name in list(p["layers"][sub]):
+            if "_lora_" in name:
+                key, k = jax.random.split(key)
+                p["layers"][sub][name] = 0.05 * jax.random.normal(
+                    k, p["layers"][sub][name].shape, jnp.float32)
+
+    full = {"llama": p}
+    path = str(tmp_path / "lora.safetensors")
+    save_lora(path, full)
+
+    restored = load_lora(path, {"llama": base})
+    for sub in p["layers"]:
+        for name, val in p["layers"][sub].items():
+            if "_lora_" in name:
+                np.testing.assert_array_equal(
+                    np.asarray(restored["llama"]["layers"][sub][name]),
+                    np.asarray(val))
+
+    merged = lora_lib.merge_lora(restored["llama"], r=4, alpha=8.0)
+    merged_direct = lora_lib.merge_lora(p, r=4, alpha=8.0)
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(merged_direct)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
