@@ -116,6 +116,10 @@ class MultimodalConfig:
     projector_type: str = "mlp2x_gelu"   # linear | mlpNx_gelu | mlpsoftmax | identity
     vision_head_type: str = "mlp"        # linear | mlp | mlp2x_gelu | none(->linear 1152)
     num_image_tokens: int = 64           # 729 -> 64 via bilinear interpolation
+    # Multi-res training (the reference's image_token_len==0 random-resolution
+    # path, siglip_encoder.py:153-156): instead of a fully dynamic 1..24^2, K
+    # is sampled per batch from this static bucket set (one compile each).
+    num_image_tokens_buckets: Tuple[int, ...] = ()
     image_token_reduction: str = "interpolation"  # interpolation | mlpmixer | concat_interpolation | none
     normalize_vision: bool = True        # L2-normalize SigLIP features + head output
     apply_softmax: bool = False          # softmax/0.07 variant
@@ -194,12 +198,21 @@ class MetaMorphConfig:
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2)
 
+    def with_num_image_tokens(self, k: int) -> "MetaMorphConfig":
+        """Config variant with a different per-image token count (multi-res
+        bucket dispatch; params are K-independent for interpolation)."""
+        mm = MultimodalConfig(**{**dataclasses.asdict(self.mm),
+                                 "num_image_tokens": k})
+        return MetaMorphConfig(llama=self.llama, siglip=self.siglip, mm=mm,
+                               mesh=self.mesh, train=self.train)
+
     @staticmethod
     def from_dict(d: dict) -> "MetaMorphConfig":
         return MetaMorphConfig(
             llama=LlamaConfig(**d.get("llama", {})),
             siglip=SiglipConfig(**d.get("siglip", {})),
-            mm=MultimodalConfig(**d.get("mm", {})),
+            mm=MultimodalConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+                                   for k, v in d.get("mm", {}).items()}),
             mesh=MeshConfig(**{k: (tuple(v) if isinstance(v, list) else v)
                                for k, v in d.get("mesh", {}).items()}),
             train=TrainConfig(**d.get("train", {})),

@@ -136,6 +136,10 @@ def reduce_tokens(
     side = int(round(T ** 0.5))
     if mm.image_token_reduction == "interpolation":
         tgt = int(round(mm.num_image_tokens ** 0.5))
+        if tgt * tgt != mm.num_image_tokens:
+            raise ValueError(
+                f"num_image_tokens must be a perfect square for interpolation "
+                f"reduction, got {mm.num_image_tokens}")
         grid = features.reshape(N, side, side, D).astype(jnp.float32)
         # antialias=False makes jax 'linear' == torch bilinear align_corners=False
         out = jax.image.resize(grid, (N, tgt, tgt, D), method="linear", antialias=False)

@@ -409,15 +409,20 @@ class LazySupervisedDataset:
 
 @dataclass
 class PackedCollator:
-    """Collate N samples into one fixed-shape PackedBatch + pixel stack."""
+    """Collate N samples into one fixed-shape PackedBatch + pixel stack.
+
+    `num_image_tokens` may be overridden per call (multi-res bucket training,
+    the reference's image_token_len==0 path bucketed to static shapes)."""
 
     num_image_tokens: int
     max_seq_len: int
     num_image_slots: int
     image_size: int = 384
 
-    def __call__(self, instances: Sequence[Dict[str, Any]]
+    def __call__(self, instances: Sequence[Dict[str, Any]],
+                 num_image_tokens: Optional[int] = None
                  ) -> Tuple[PackedBatch, np.ndarray]:
+        K = num_image_tokens or self.num_image_tokens
         ids = [inst["input_ids"] for inst in instances]
         labels = [inst["labels"] for inst in instances]
         try:
@@ -428,7 +433,7 @@ class PackedCollator:
                       else pack_sequences)
         except Exception:
             packer = pack_sequences
-        packed = packer(ids, labels, self.num_image_tokens,
+        packed = packer(ids, labels, K,
                         self.max_seq_len, self.num_image_slots)
         pixel_list = []
         for inst in instances:
@@ -469,14 +474,24 @@ class DataIterator:
     and resume fast-forwards — SURVEY.md §5.3)."""
 
     def __init__(self, dataset: LazySupervisedDataset, collator: PackedCollator,
-                 batch_size: int, seed: int = 42, group_by_modality: bool = False):
+                 batch_size: int, seed: int = 42, group_by_modality: bool = False,
+                 token_buckets: Sequence[int] = ()):
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
         self.seed = seed
         self.group_by_modality = group_by_modality
+        self.token_buckets = tuple(token_buckets)
         self.epoch = 0
         self.step_in_epoch = 0
+
+    def _bucket_for(self, epoch: int, batch_idx: int) -> Optional[int]:
+        """Deterministic per-batch token-count choice (stable across resume)."""
+        if not self.token_buckets:
+            return None
+        h = random.Random((self.seed, epoch, batch_idx).__hash__()).randrange(
+            len(self.token_buckets))
+        return self.token_buckets[h]
 
     def _order(self) -> List[int]:
         rng = random.Random((self.seed, self.epoch).__hash__())
@@ -501,6 +516,7 @@ class DataIterator:
                 self.step_in_epoch = b + 1
                 rows = [self.dataset[order[b * self.batch_size + k]]
                         for k in range(self.batch_size)]
-                yield self.collator(rows)
+                yield self.collator(
+                    rows, num_image_tokens=self._bucket_for(self.epoch, b))
             self.epoch += 1
             self.step_in_epoch = 0

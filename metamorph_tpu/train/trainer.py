@@ -79,6 +79,19 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
     params = build_params(cfg, args)
     step_fn, tx, state_shardings, batch_sh_fn = make_sharded_train_step(
         cfg, mesh, params, attn_impl=args.attn_impl)
+    # multi-res buckets: lazily-compiled step variants keyed by K (the packed
+    # batch's per-image token count); params/opt-state are K-independent
+    step_fns = {cfg.mm.num_image_tokens: step_fn}
+    params_template = params
+
+    def step_fn_for(K: int):
+        if K not in step_fns:
+            rank0_print(f"compiling step for num_image_tokens={K}")
+            fn, _, _, _ = make_sharded_train_step(
+                cfg.with_num_image_tokens(K), mesh, params_template,
+                attn_impl=args.attn_impl)
+            step_fns[K] = fn
+        return step_fns[K]
 
     sh_params = shard_params(params, mesh)
     state = {"params": sh_params, "opt_state": tx.init(sh_params),
@@ -165,7 +178,11 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
             batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
             pixels = jax.device_put(pixels, NamedSharding(mesh, P()))
 
-            state, m = step_fn(state, batch, pixels)
+            if isinstance(packed, PackedBatch):
+                K = packed.ar_valid.shape[0] // packed.image_slot_used.shape[0]
+            else:
+                K = cfg.mm.num_image_tokens
+            state, m = step_fn_for(K)(state, batch, pixels)
             step += 1
             if step % args.logging_steps == 0:
                 m = {k: float(v) for k, v in jax.device_get(m).items()}

@@ -87,3 +87,46 @@ def test_grad_accum(tmp_path):
     out = train(cfg, args, FakeData(cfg))
     assert out["step"] == 2
     assert np.isfinite(out["metrics"]["loss"])
+
+
+def test_multires_buckets(tmp_path):
+    """Multi-res bucket training: per-batch K varies over the bucket set and
+    steps run on each variant (image_token_len==0 analog, bucketed)."""
+    from metamorph_tpu.train.data import PackedCollator
+
+    cfg = tiny_cfg(total_steps=3)
+    object.__setattr__(cfg.mm, "num_image_tokens_buckets", (1, 4))
+
+    class BucketData(FakeData):
+        def __iter__(self):
+            import random as _r
+
+            K_seq = [1, 4, 1]
+            i = 0
+            col = PackedCollator(num_image_tokens=4,
+                                 max_seq_len=cfg.train.max_seq_len,
+                                 num_image_slots=cfg.train.batch_size,
+                                 image_size=28)
+            while True:
+                K = K_seq[i % len(K_seq)]
+                i += 1
+                B = cfg.train.batch_size
+                ids = [[1, 2 + b, IM_START_TOKEN_ID, IMAGE_TOKEN_INDEX, 128257, 7, 8]
+                       for b in range(B)]
+                labs = [[IGNORE_INDEX, IGNORE_INDEX, IM_START_TOKEN_ID, 0, 128257,
+                         7, 8] for _ in range(B)]
+                packed, pixels = col(
+                    [{"input_ids": a, "labels": l,
+                      "pixels": np.random.default_rng(0).normal(
+                          size=(1, 28, 28, 3)).astype(np.float32),
+                      "modality_length": 7} for a, l in zip(ids, labs)],
+                    num_image_tokens=K)
+                self.state["step_in_epoch"] += 1
+                yield packed, pixels
+
+    from metamorph_tpu.train.trainer import TrainerArgs, train
+
+    args = TrainerArgs(output_dir=str(tmp_path), save_steps=100, resume=False)
+    out = train(cfg, args, BucketData(cfg))
+    assert out["step"] == 3
+    assert np.isfinite(out["metrics"]["loss"])
