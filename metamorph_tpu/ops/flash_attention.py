@@ -23,6 +23,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -106,11 +107,111 @@ def _fwd_kernel(lengths_ref,  # scalar prefetch [B]
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
 
 
+def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
+                    q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    acc, m_i, l_i, *, scale, block_q, block_k):
+    """Causal triangle-grid forward: the grid enumerates only the
+    lower-triangle (iq, jk<=iq) block pairs — dead blocks get neither compute
+    nor DMA (~2x fewer programs than the rectangular causal grid)."""
+    b, t = pl.program_id(0), pl.program_id(2)
+    iq = iq_ref[t]
+    jk = jk_ref[t]
+
+    @pl.when(jk == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    length = lengths_ref[b]
+    q_start = iq * block_q
+    k_start = jk * block_k
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    mask = jnp.logical_and(col < length, col <= row)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_i[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    acc[...] = acc[...] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+    l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+
+    @pl.when(jk == iq)  # last block of this q row
+    def _finish():
+        l = l_i[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+        lse = m_i[:, :1] + jnp.log(l_safe)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+
+
+def _fwd_tri(q, k, v, lengths, scale, block_q):
+    """Triangle-grid causal forward (block_q == block_k, T == S)."""
+    B, H, T, Dh = q.shape
+    KV = k.shape[1]
+    group = H // KV
+    n = _cdiv(T, block_q)
+    iq_arr = np.asarray([i for i in range(n) for _ in range(i + 1)], np.int32)
+    jk_arr = np.asarray([j for i in range(n) for j in range(i + 1)], np.int32)
+    n_tri = len(iq_arr)
+
+    kernel = functools.partial(_fwd_kernel_tri, scale=scale,
+                               block_q=block_q, block_k=block_q)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, H, n_tri),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, Dh), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+                pltpu.VMEM((block_q, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, T, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, jnp.asarray(iq_arr), jnp.asarray(jk_arr), q, k, v)
+    return o, lse
+
+
 def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
     B, H, T, Dh = q.shape
     KV, S = k.shape[1], k.shape[2]
     group = H // KV
     n_q, n_k = _cdiv(T, block_q), _cdiv(S, block_k)
+
+    if causal and block_q == block_k and T == S and T % block_q == 0:
+        return _fwd_tri(q, k, v, lengths, scale, block_q)
 
     grid = (B, H, n_q, n_k)
     kernel = functools.partial(
