@@ -151,16 +151,22 @@ def bench_encode(cfg, size):
         0, 256, (N, 480, 640, 3)).astype(np.uint8))
 
     @jax.jit
-    def run(frames):
+    def run(params, frames, salt):
+        # params as an ARG, not a closure: closed-over arrays embed as HLO
+        # constants (0.86GB) and stall the compiler. `salt` defeats any
+        # result caching; the scalar output keeps host fetches tiny.
         px = fused_resize_normalize(frames, cfg.siglip.image_size)
-        return vision_tower_forward(params, cfg.siglip, cfg.mm, px)
+        out = vision_tower_forward(params, cfg.siglip, cfg.mm, px)
+        return jnp.sum(out.astype(jnp.float32)) + salt
 
-    jax.block_until_ready(run(frames))
+    frames = jax.device_put(frames)
+    params = jax.device_put(params)
+    float(run(params, frames, jnp.float32(0)))  # warmup
+    reps = 10
     t0 = time.time()
-    reps = 5
-    for _ in range(reps):
-        out = run(frames)
-    jax.block_until_ready(out)
+    for i in range(reps):
+        r = run(params, frames, jnp.float32(i))
+    jax.block_until_ready(r)
     dt = time.time() - t0
     img_s = N * reps / dt
     print(json.dumps({

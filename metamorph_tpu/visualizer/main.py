@@ -93,7 +93,8 @@ def main(argv=None):
     metrics = MetricsLogger(os.path.join(args.output_dir, "metrics.jsonl"))
 
     @jax.jit
-    def encode(sig_px):
+    def encode(sig_params, sig_px):
+        # params as args (closed-over arrays embed as giant HLO constants)
         return vision_tower_forward(sig_params, sig_cfg, mm, sig_px)
 
     def batches():
@@ -115,7 +116,7 @@ def main(argv=None):
     step = 0
     t_last = time.time()
     for sig_px, vae_px in batches():
-        embeds = encode(jnp.asarray(sig_px))
+        embeds = encode(sig_params, jnp.asarray(sig_px))
         state, loss = step_fn(state, embeds, jnp.asarray(vae_px),
                               jax.random.PRNGKey(step))
         step += 1
