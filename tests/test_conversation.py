@@ -1,0 +1,68 @@
+"""Conversation template rendering vs reference formats (`conversation.py:40-124`)."""
+
+from metamorph_tpu.multimodal.conversation import (Conversation, SeparatorStyle,
+                                                   conv_llama_3, conv_templates,
+                                                   conv_vicuna_v0)
+
+
+def test_llama3_prompt():
+    conv = conv_llama_3.copy()
+    conv.append_message(conv.roles[0], "hello")
+    conv.append_message(conv.roles[1], "hi")
+    out = conv.get_prompt()
+    assert out == ("<|begin_of_text|>"
+                   "<|start_header_id|>user<|end_header_id|>\nhello<|eot_id|>"
+                   "<|start_header_id|>assistant<|end_header_id|>\nhi<|eot_id|>")
+
+
+def test_llama3_open_turn():
+    conv = conv_llama_3.copy()
+    conv.append_message(conv.roles[0], "q")
+    conv.append_message(conv.roles[1], None)
+    out = conv.get_prompt()
+    assert out.endswith("<|start_header_id|>assistant<|end_header_id|>\n")
+    assert "<|eot_id|>" in out
+
+
+def test_single_style():
+    conv = conv_vicuna_v0.copy()
+    conv.append_message("Human", "a")
+    conv.append_message("Assistant", "b")
+    out = conv.get_prompt()
+    assert "Human: a###" in out and "Assistant: b###" in out
+    assert out.startswith(conv.system + "###")
+
+
+def test_two_style():
+    conv = Conversation(system="SYS", roles=("USER", "ASSISTANT"), messages=[],
+                        offset=0, sep_style=SeparatorStyle.TWO, sep=" ",
+                        sep2="</s>")
+    conv.append_message("USER", "q")
+    conv.append_message("ASSISTANT", "a")
+    assert conv.get_prompt() == "SYS USER: q ASSISTANT: a</s>"
+
+
+def test_llama2_style():
+    conv = Conversation(system="S", roles=("USER", "ASSISTANT"), messages=[],
+                        offset=0, sep_style=SeparatorStyle.LLAMA_2,
+                        sep="<s>", sep2="</s>")
+    conv.append_message("USER", "q")
+    conv.append_message("ASSISTANT", "a")
+    out = conv.get_prompt()
+    assert "[INST] <<SYS>>\nS\n<</SYS>>\n\nq [/INST]" in out
+    assert out.endswith(" a </s>")
+
+
+def test_registry_and_copy_isolation():
+    assert conv_templates["llama3"] is conv_llama_3
+    c1 = conv_llama_3.copy()
+    c1.append_message(c1.roles[0], "x")
+    assert conv_llama_3.messages == []  # template untouched
+
+
+def test_image_tuple_message():
+    conv = conv_llama_3.copy()
+    conv.append_message(conv.roles[0], ("<image> describe", None, "Default"))
+    conv.append_message(conv.roles[1], "ok")
+    out = conv.get_prompt()
+    assert "<image>\ndescribe" in out
