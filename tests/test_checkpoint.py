@@ -90,3 +90,16 @@ def test_sharded_save_restore(tmp_path, params, mesh8):
     template = {"params": jax.tree.map(np.zeros_like, params)}
     restored = C.restore_train_state(path, template)
     assert_trees_equal(restored["params"], params)
+
+
+def test_preemption_saver_signal():
+    import os
+    import signal
+
+    from metamorph_tpu.train.checkpoint import PreemptionSaver
+
+    saver = PreemptionSaver()
+    assert not saver.should_save()
+    os.kill(os.getpid(), signal.SIGUSR1)
+    # signal delivery is synchronous for the same thread on return to python
+    assert saver.should_save()

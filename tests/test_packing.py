@@ -51,7 +51,7 @@ def reference_splice(input_ids, labels, K, max_len):
     return out, placeholders
 
 
-def check_equivalence(input_ids, labels, T, N, padding_side="right"):
+def check_equivalence(input_ids, labels, T, N, padding_side="right", K=K):
     packed = pack_sequences(input_ids, labels, K, T, N, padding_side)
     ref, placeholders = reference_splice(input_ids, labels, K, T)
 
@@ -158,3 +158,39 @@ def test_slot_overflow_raises():
     ids = [[IMG], [IMG]]
     with pytest.raises(ValueError):
         pack_sequences(ids, None, K, 8, 1)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_vs_reference_splice(seed):
+    """Randomized packer fuzz against the reference-splice emulation: random
+    image placement, answer/prompt mixes, truncation pressure, both paddings."""
+    import random
+
+    rng = random.Random(seed)
+    K = rng.choice([2, 3, 4])
+    T = rng.choice([16, 24, 40])
+    B = rng.randint(1, 4)
+    ids, labs = [], []
+    n_slots = 0
+    for _ in range(B):
+        row_i, row_l = [128000], [IGNORE_INDEX]
+        n_img = rng.randint(0, 4)
+        n_slots += max(n_img, 1)
+        for _ in range(n_img):
+            for _ in range(rng.randint(0, 8)):
+                t = rng.randint(10, 500)
+                row_i.append(t)
+                row_l.append(t if rng.random() < 0.4 else IGNORE_INDEX)
+            if rng.random() < 0.5:  # answer image
+                row_i.append(IM_START_TOKEN_ID)
+                row_l.append(IM_START_TOKEN_ID)
+            row_i.append(IMG)
+            row_l.append(IGNORE_INDEX)
+        for _ in range(rng.randint(0, 6)):
+            t = rng.randint(10, 500)
+            row_i.append(t)
+            row_l.append(t)
+        ids.append(row_i)
+        labs.append(row_l)
+    side = rng.choice(["right", "left"])
+    check_equivalence(ids, labs, T=T, N=n_slots + 1, padding_side=side, K=K)
