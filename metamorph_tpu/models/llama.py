@@ -174,7 +174,24 @@ def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, 
 # ---------------------------------------------------------------------------
 
 def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params["embed"]["embedding"], ids, axis=0)
+    """Token embedding lookup.
+
+    Under a mesh, the table is constrained to replicated for the gather and the
+    output to batch-sharded: the gather then has a replicated operand +
+    batch-sharded indices, and (because with_sharding_constraint transposes to
+    itself) the backward scatter-add produces a replicated [V,D] grad that XLA
+    reduce-scatters back to the table's (tensor, fsdp) sharding — instead of
+    the involuntary-full-rematerialization fallback GSPMD hits when it must
+    reshard the [B,T,D] cotangent from batch- to D-sharded layouts."""
+    from jax.sharding import PartitionSpec as P
+
+    from metamorph_tpu.parallel.context import constrain
+
+    table = constrain(params["embed"]["embedding"], P(None, None))
+    out = jnp.take(table, ids, axis=0)
+    if out.ndim == 3:
+        out = constrain(out, P(("data", "fsdp"), None, None))
+    return out
 
 
 def llama_forward(

@@ -77,11 +77,23 @@ def encode_images(params: Params, cfg: MetaMorphConfig, pixels: jnp.ndarray
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pixels [N,H,W,3] -> (projected [N,K,D_llm] w/ grad to projector,
     targets [N,K,D_vis] detached) — parity with `encode_images`
-    (`metamorph_arch.py:140-164`)."""
+    (`metamorph_arch.py:140-164`).
+
+    The image-slot axis N is sharded over (data, fsdp) so the SigLIP tower's
+    FLOPs divide across the mesh instead of replicating per device (the
+    reference never replicates the vision forward under ZeRO-3 either,
+    `scripts/zero3.json:16-26`)."""
+    from jax.sharding import PartitionSpec as P
+
+    from metamorph_tpu.parallel.context import constrain
+
+    pixels = constrain(pixels, P(("data", "fsdp"), None, None, None))
     feats = siglip_lib.vision_tower_forward(
         params["siglip"], cfg.siglip, cfg.mm, pixels,
         mixer_params=params.get("siglip_mixer"))
+    feats = constrain(feats, P(("data", "fsdp"), None, None))
     projected = proj_lib.apply_stack(params["projector"], _proj_acts(cfg), feats)
+    projected = constrain(projected, P(("data", "fsdp"), None, None))
     targets = jax.lax.stop_gradient(feats)
     return projected, targets
 
@@ -104,12 +116,23 @@ def apply_vision_head(params: Params, cfg: MetaMorphConfig, h: jnp.ndarray
 def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
                     projected: jnp.ndarray) -> jnp.ndarray:
     """Scatter projected image tokens into the text embedding table output —
-    the static equivalent of the reference splice loop."""
+    the static equivalent of the reference splice loop.
+
+    The flat image-token table is explicitly constrained to replicated: one
+    small all-gather ([N*K, D], a few MB) at a well-defined point, after which
+    the gather has a replicated operand + batch-sharded indices — a pattern
+    GSPMD partitions natively (no involuntary full rematerialization)."""
+    from jax.sharding import PartitionSpec as P
+
+    from metamorph_tpu.parallel.context import constrain
+
     text_emb = llama_lib.embed_tokens(params["llama"], batch["tokens"])
     N, K, D = projected.shape
     img_flat = jnp.concatenate(
         [projected.reshape(N * K, D), jnp.zeros((1, D), projected.dtype)], axis=0)
+    img_flat = constrain(img_flat, P(None, None))
     gathered = jnp.take(img_flat, batch["img_gather_idx"], axis=0)  # [B,T,D]
+    gathered = constrain(gathered, P(("data", "fsdp"), None, None))
     return jnp.where(batch["is_image"][..., None], gathered, text_emb)
 
 
@@ -176,12 +199,25 @@ def metamorph_forward(
     n_valid = jnp.maximum(valid.sum(), 1)
 
     # ---- image-AR loss — metamorph_llama.py:420-459 ----
+    # Mask-based formulation: pred/target live on the same [B,T] batch-sharded
+    # layout as the decoder (no cross-batch gather of `hidden`, which GSPMD
+    # could only realize by replicating it). The target table reuses the fuse
+    # gather plan (img_gather_idx), which also permits per-slot variable token
+    # counts (anyres). The vision head runs on every position and is weighted
+    # by the answer-image mask — its FLOPs are ~0.1% of the decoder's.
     N, K, Dv = targets.shape
-    tgt_flat = targets.reshape(N * K, Dv).astype(jnp.float32)
-    h_pred = hidden[batch["ar_batch_idx"], batch["ar_pred_pos"]]      # [A, D]
-    pred = apply_vision_head(params, cfg, h_pred)                      # [A, Dv] fp32
-    tgt = jnp.take(tgt_flat, batch["ar_target_idx"], axis=0)           # [A, Dv]
-    w = batch["ar_valid"].astype(jnp.float32)
+    tgt_flat = jnp.concatenate(
+        [targets.reshape(N * K, Dv).astype(jnp.float32),
+         jnp.zeros((1, Dv), jnp.float32)], axis=0)
+    tgt_flat = constrain(tgt_flat, P(None, None))
+    tgt = jnp.take(tgt_flat, batch["img_gather_idx"], axis=0)        # [B,T,Dv]
+    tgt = constrain(tgt, P(("data", "fsdp"), None, None))
+    # teacher-forced: hidden at t-1 predicts image token t (metamorph_llama.py:384-390);
+    # t=0 is never an image token (bos precedes any image in a packed row)
+    h_prev = jnp.pad(hidden, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    pred = apply_vision_head(params, cfg, h_prev)                     # [B,T,Dv] fp32
+    pred = constrain(pred, P(("data", "fsdp"), None, None))
+    w = batch["image_ar_mask"].astype(jnp.float32)                    # [B,T]
     n_ar = jnp.maximum(w.sum(), 1.0)
     if cfg.mm.apply_softmax:
         per_tok = -(tgt * jnp.log(pred + 1e-10)).sum(-1)

@@ -150,11 +150,42 @@ conv_plain = Conversation(
     version="plain",
 )
 
+conv_vicuna_v1 = Conversation(
+    system="A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the user's questions.",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+    version="v1",
+)
+
+conv_llama_2 = Conversation(
+    system="",
+    roles=("USER", "ASSISTANT"),
+    messages=[],
+    offset=0,
+    sep_style=SeparatorStyle.LLAMA_2,
+    sep="<s>",
+    sep2="</s>",
+    version="llama_v2",
+)
+
 default_conversation = conv_llama_3
 
+# Registry mirrors `conversation.py:283-290`, plus the v1/llama_2 templates the
+# masking preprocessors (`train.py:335-499`) consume — the reference selects
+# them via `model_args.version` (`train.py:1487-1490`) but ships a registry
+# that would KeyError on the "vicuna_v1" fallback; we register them properly.
 conv_templates = {
     "default": conv_vicuna_v0,
     "v0": conv_vicuna_v0,
+    "v1": conv_vicuna_v1,
+    "vicuna_v1": conv_vicuna_v1,
+    "llama_2": conv_llama_2,
     "llama3": conv_llama_3,
     "chatml_direct": conv_chatml_direct,
     "mistral_direct": conv_chatml_direct,

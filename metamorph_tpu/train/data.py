@@ -270,7 +270,13 @@ class LazySupervisedDataset:
         self.tokenize = tokenize
         self.cfg = cfg
         self.rng = random.Random(seed)
+        # metaclip datasets carry pre-loaded image arrays in the sample dict
+        # instead of file paths (`train.py:776-784,1061`); add_prompts is set
+        # but never consumed by the reference — kept as documented vestige.
+        self.use_metaclip = "metacliptar" in data_path
+        self.add_prompts = "metaclip" in data_path
         self.line_offsets = self._index_file()
+        self._modality_lengths: Optional[List[int]] = None
 
     def _index_file(self) -> List[int]:
         try:
@@ -289,6 +295,26 @@ class LazySupervisedDataset:
 
     def __len__(self):
         return len(self.line_offsets)
+
+    @property
+    def modality_lengths(self) -> List[int]:
+        """Per-sample word-count length, sign-coded by modality (positive =
+        multimodal, negative = text-only) — the attribute the reference's
+        `LengthGroupedSampler` expects (`metamorph_trainer.py:66-91`; LLaVA
+        defines it as conversation word counts). One cheap text-only JSONL
+        scan, cached; no image decode."""
+        if self._modality_lengths is None:
+            lengths = []
+            with open(self.data_path, "r") as f:
+                for line in f:
+                    dat = json.loads(line)
+                    n = sum(len(str(c.get("value", "")).split())
+                            for c in dat.get("conversations", []))
+                    n = max(n, 1)
+                    has_image = self.use_metaclip or dat.get("image") is not None
+                    lengths.append(n if has_image else -n)
+            self._modality_lengths = lengths
+        return self._modality_lengths
 
     def _load_image(self, path: str) -> np.ndarray:
         from PIL import Image
@@ -319,10 +345,15 @@ class LazySupervisedDataset:
         rng = self.rng
         images: List[np.ndarray] = []
 
-        has_image = dat.get("image") is not None
+        has_image = self.use_metaclip or dat.get("image") is not None
         if has_image:
             image_file = dat["image"]
-            if isinstance(image_file, list):
+            if self.use_metaclip:
+                # pre-loaded image data (tar-backed), not paths (`train.py:1061-1063`);
+                # a single image arrives as one HxWx3 array, multiple as a stack
+                arr = np.asarray(image_file, np.uint8)
+                images = list(arr) if arr.ndim == 4 else [arr]
+            elif isinstance(image_file, list):
                 if image_file and "visual_cot" in str(image_file[0]):
                     # visual-CoT: full image + bbox crop, rewritten 2-turn convo
                     image_path, bbox_str = image_file[0], image_file[1]
@@ -475,26 +506,37 @@ class DataIterator:
 
     def __init__(self, dataset: LazySupervisedDataset, collator: PackedCollator,
                  batch_size: int, seed: int = 42, group_by_modality: bool = False,
-                 token_buckets: Sequence[int] = ()):
+                 token_buckets: Sequence[int] = (), accum_steps: int = 1):
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
         self.seed = seed
         self.group_by_modality = group_by_modality
         self.token_buckets = tuple(token_buckets)
+        # all microbatches inside one optimizer step must share a token bucket
+        # (the trainer stacks them; mixed K would change the packed shapes)
+        self.accum_steps = max(int(accum_steps), 1)
         self.epoch = 0
         self.step_in_epoch = 0
 
     def _bucket_for(self, epoch: int, batch_idx: int) -> Optional[int]:
-        """Deterministic per-batch token-count choice (stable across resume)."""
+        """Deterministic per-optimizer-step token-count choice (stable across
+        resume; constant within a grad-accum group)."""
         if not self.token_buckets:
             return None
-        h = random.Random((self.seed, epoch, batch_idx).__hash__()).randrange(
+        opt_step = batch_idx // self.accum_steps
+        h = random.Random((self.seed, epoch, opt_step).__hash__()).randrange(
             len(self.token_buckets))
         return self.token_buckets[h]
 
     def _order(self) -> List[int]:
         rng = random.Random((self.seed, self.epoch).__hash__())
+        if self.group_by_modality:
+            # reference LengthGroupedSampler(group_by_modality=True) semantics
+            # (`metamorph_trainer.py:105-136`): single-modality, length-sorted
+            # megabatch chunks, shuffled at batch granularity
+            return modality_length_grouped_indices(
+                self.dataset.modality_lengths, self.batch_size, rng)
         idx = list(range(len(self.dataset)))
         rng.shuffle(idx)
         return idx

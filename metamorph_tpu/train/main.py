@@ -77,7 +77,8 @@ def main(argv=None):
         image_size=cfg.siglip.image_size)
     data_iter = DataIterator(dataset, collator, cfg.train.batch_size,
                              seed=cfg.train.seed,
-                             group_by_modality=args.group_by_modality_length)
+                             group_by_modality=args.group_by_modality_length,
+                             accum_steps=cfg.train.grad_accum_steps)
 
     trainer_args = TrainerArgs(
         output_dir=args.output_dir,

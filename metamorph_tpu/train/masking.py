@@ -148,15 +148,7 @@ def preprocess_llama_2(
     model_max_length: int = 4096,
 ) -> Dict[str, List[List[int]]]:
     """LLaMA-2 [INST] template masking (`train.py:335-414`)."""
-    conv = conversation_lib.conv_templates.get("llama_2")
-    if conv is None:
-        from metamorph_tpu.multimodal.conversation import (Conversation,
-                                                           SeparatorStyle)
-
-        conv = Conversation(system="", roles=("USER", "ASSISTANT"), messages=[],
-                            offset=0, sep_style=SeparatorStyle.LLAMA_2,
-                            sep="<s>", sep2="</s>", version="llama_v2")
-    conv = conv.copy()
+    conv = conversation_lib.conv_templates["llama_2"].copy()
     conversations = _apply_template(sources, conv)
     input_ids = [_tok(p, tokenize, has_image, bos_token_id) for p in conversations]
     targets = [list(ids) for ids in input_ids]
@@ -174,15 +166,7 @@ def preprocess_v1(
     model_max_length: int = 4096,
 ) -> Dict[str, List[List[int]]]:
     """Vicuna-v1 TWO-separator template masking (`train.py:417-499`)."""
-    from metamorph_tpu.multimodal.conversation import (Conversation,
-                                                       SeparatorStyle)
-
-    conv = Conversation(
-        system="A chat between a curious user and an artificial intelligence "
-               "assistant. The assistant gives helpful, detailed, and polite "
-               "answers to the user's questions.",
-        roles=("USER", "ASSISTANT"), messages=[], offset=0,
-        sep_style=SeparatorStyle.TWO, sep=" ", sep2="</s>", version="v1")
+    conv = conversation_lib.conv_templates["v1"].copy()
     conversations = _apply_template(sources, conv)
     input_ids = [_tok(p, tokenize, has_image, bos_token_id) for p in conversations]
     targets = [list(ids) for ids in input_ids]

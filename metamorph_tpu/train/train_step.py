@@ -25,6 +25,18 @@ from metamorph_tpu.train.optimizer import make_optimizer
 TrainState = Dict[str, Any]  # {"params", "opt_state", "step"}
 
 
+def pixels_sharding(mesh: Mesh, n_slots: int, leading_microbatch: bool = False
+                    ) -> NamedSharding:
+    """Shard the image-slot axis over (data, fsdp) so the SigLIP encode divides
+    across the mesh (replicated vision FLOPs were the round-1 multichip wart).
+    Falls back to replication when the slot count doesn't divide the axes."""
+    shards = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+    spec = ("data", "fsdp") if n_slots % shards == 0 else None
+    if leading_microbatch:
+        return NamedSharding(mesh, P(None, spec))
+    return NamedSharding(mesh, P(spec))
+
+
 def init_train_state(params: Any, cfg: MetaMorphConfig) -> TrainState:
     tx = make_optimizer(cfg.train, params)
     return {"params": params, "opt_state": tx.init(params), "step": jnp.zeros((), jnp.int32)}

@@ -29,7 +29,8 @@ from metamorph_tpu.multimodal.packing import PackedBatch, batch_to_arrays
 from metamorph_tpu.parallel.mesh import build_mesh
 from metamorph_tpu.parallel.sharding import shard_params
 from metamorph_tpu.train import checkpoint as ckpt_lib
-from metamorph_tpu.train.train_step import make_sharded_train_step
+from metamorph_tpu.train.train_step import (make_sharded_train_step,
+                                            pixels_sharding)
 from metamorph_tpu.utils.logging import MetricsLogger, rank0_print
 
 
@@ -116,10 +117,10 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
         data_iter.load_state_dict(data_state)
 
     preempt = ckpt_lib.PreemptionSaver()
+    os.makedirs(args.output_dir, exist_ok=True)
     metrics_log = MetricsLogger(
         log_path=os.path.join(args.output_dir, "metrics.jsonl"),
         use_wandb=args.use_wandb)
-    os.makedirs(args.output_dir, exist_ok=True)
 
     tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
     n_chips = len(jax.devices())
@@ -156,12 +157,26 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
         accum = cfg.train.grad_accum_steps
         while step < cfg.train.total_steps:
             micro = []
+            micro_K = []
             for _ in range(accum):
                 (packed, pixels), ds = next(it)
                 consumed_data_state[0] = ds
                 b = (batch_to_arrays(packed) if isinstance(packed, PackedBatch)
                      else dict(packed))
+                if isinstance(packed, PackedBatch):
+                    micro_K.append(packed.ar_valid.shape[0]
+                                   // packed.image_slot_used.shape[0])
+                else:
+                    micro_K.append(cfg.mm.num_image_tokens)
                 micro.append((b, np.asarray(pixels)))
+            K = micro_K[0]
+            if any(k != K for k in micro_K):
+                # multi-res buckets must be constant within one optimizer step
+                # (DataIterator keys its bucket on step//accum_steps); mixed K
+                # would stack incompatible packed shapes
+                raise ValueError(
+                    f"grad-accum group has mixed num_image_tokens {micro_K}; "
+                    f"construct DataIterator with accum_steps={accum}")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             if accum > 1:
@@ -172,16 +187,15 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
                 bs = {k: (NamedSharding(mesh, P(None, ("data", "fsdp")))
                           if v.ndim == 3 else NamedSharding(mesh, P()))
                       for k, v in batch.items()}
+                px_sh = pixels_sharding(mesh, pixels.shape[1],
+                                        leading_microbatch=True)
             else:
                 batch, pixels = micro[0]
                 bs = batch_sh_fn(batch)
+                px_sh = pixels_sharding(mesh, pixels.shape[0])
             batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
-            pixels = jax.device_put(pixels, NamedSharding(mesh, P()))
+            pixels = jax.device_put(pixels, px_sh)
 
-            if isinstance(packed, PackedBatch):
-                K = packed.ar_valid.shape[0] // packed.image_slot_used.shape[0]
-            else:
-                K = cfg.mm.num_image_tokens
             state, m = step_fn_for(K)(state, batch, pixels)
             step += 1
             if step % args.logging_steps == 0:

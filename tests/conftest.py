@@ -37,3 +37,14 @@ def mesh8():
     from metamorph_tpu.parallel.mesh import build_mesh
 
     return build_mesh(MeshConfig(data=2, fsdp=2, tensor=2))
+
+
+@pytest.fixture(autouse=True)
+def _reset_mesh_context():
+    """make_sharded_train_step registers a process-wide mesh for activation
+    constraints; clear it so single-device tests don't constrain against a
+    mesh left over from a sharded test."""
+    yield
+    from metamorph_tpu.parallel.context import set_current_mesh
+
+    set_current_mesh(None)

@@ -66,3 +66,24 @@ def test_image_tuple_message():
     conv.append_message(conv.roles[1], "ok")
     out = conv.get_prompt()
     assert "<image>\ndescribe" in out
+
+
+def test_registry_covers_masking_templates():
+    """v1 / vicuna_v1 / llama_2 are registered (the reference's train.py:1487-1490
+    selects templates by name and falls back to "vicuna_v1") and render the
+    formats the masking preprocessors rely on."""
+    for name in ("v1", "vicuna_v1", "llama_2", "plain", "llama3"):
+        assert name in conv_templates, name
+    assert conv_templates["v1"] is conv_templates["vicuna_v1"]
+
+    v1 = conv_templates["v1"].copy()
+    v1.append_message(v1.roles[0], "q")
+    v1.append_message(v1.roles[1], "a")
+    out = v1.get_prompt()
+    assert "USER: q ASSISTANT: a</s>" in out
+
+    l2 = conv_templates["llama_2"].copy()
+    l2.append_message(l2.roles[0], "q")
+    l2.append_message(l2.roles[1], "a")
+    out = l2.get_prompt()
+    assert "[INST] q [/INST]" in out and out.endswith(" a </s>")

@@ -145,6 +145,103 @@ def test_modality_grouping():
         assert len(signs) == 1  # single modality per batch
 
 
+@pytest.fixture()
+def mixed_jsonl(tmp_path):
+    """8 image + 8 text-only rows with varying conversation lengths."""
+    from PIL import Image
+
+    img_path = tmp_path / "m.png"
+    Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(img_path)
+    rows = []
+    for i in range(8):
+        rows.append({"id": f"img{i}", "image": str(img_path),
+                     "conversations": [
+                         {"from": "human", "value": "<image>\n" + "q " * (i + 1)},
+                         {"from": "gpt", "value": "a " * (i + 2)}]})
+        rows.append({"id": f"txt{i}", "image": None,
+                     "conversations": [
+                         {"from": "human", "value": "q " * (i + 3)},
+                         {"from": "gpt", "value": "a " * (i + 1)}]})
+    path = tmp_path / "mixed.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def test_modality_lengths_property(mixed_jsonl):
+    ds = make_ds(mixed_jsonl)
+    lens = ds.modality_lengths
+    assert len(lens) == 16
+    # even rows are image samples (positive), odd are text-only (negative)
+    assert all(l > 0 for l in lens[0::2])
+    assert all(l < 0 for l in lens[1::2])
+    assert ds.modality_lengths is lens  # cached
+
+
+def test_iterator_group_by_modality_wired(mixed_jsonl):
+    """The production flag path: DataIterator(group_by_modality=True) must emit
+    single-modality, length-sorted batches (reference LengthGroupedSampler,
+    metamorph_trainer.py:66-136) — not just expose the helper."""
+    ds = make_ds(mixed_jsonl)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64, num_image_slots=8,
+                         image_size=28)
+    it = DataIterator(ds, col, batch_size=4, seed=0, group_by_modality=True)
+    order = it._order()
+    assert sorted(order) == list(range(16))
+    lens = ds.modality_lengths
+    for s in range(0, 16, 4):
+        batch_idx = order[s:s + 4]
+        signs = {lens[i] > 0 for i in batch_idx}
+        assert len(signs) == 1, f"mixed-modality batch at {s}: {batch_idx}"
+        mags = [abs(lens[i]) for i in batch_idx]
+        assert mags == sorted(mags, reverse=True), "batch not length-sorted"
+
+    # grouped iteration still yields packed batches and resumes deterministically
+    gen = iter(it)
+    next(gen)
+    state = it.state_dict()
+    packed2, _ = next(gen)
+    it2 = DataIterator(ds, col, batch_size=4, seed=0, group_by_modality=True)
+    it2.load_state_dict(state)
+    packed3, _ = next(iter(it2))
+    np.testing.assert_array_equal(packed2.tokens, packed3.tokens)
+
+
+def test_bucket_constant_within_accum_group(jsonl_dir):
+    ds = make_ds(jsonl_dir)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64, num_image_slots=6,
+                         image_size=28)
+    it = DataIterator(ds, col, batch_size=1, seed=3, token_buckets=(2, 4, 8),
+                      accum_steps=4)
+    seen = set()
+    for b in range(0, 40, 4):
+        group = {it._bucket_for(0, b + k) for k in range(4)}
+        assert len(group) == 1, f"accum group at {b} mixes buckets {group}"
+        seen |= group
+    assert len(seen) > 1  # buckets do vary ACROSS optimizer steps
+
+
+def test_metaclip_preloaded_images(tmp_path):
+    """'metacliptar' datasets carry image data inline, not paths
+    (train.py:776-784,1061)."""
+    img = np.full((20, 20, 3), 77, np.uint8).tolist()
+    rows = [{"id": "m0", "image": img,
+             "conversations": [
+                 {"from": "human", "value": "<image>\nwhat"},
+                 {"from": "gpt", "value": "thing"}]}]
+    path = tmp_path / "metacliptar_train.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = make_ds(str(path))
+    assert ds.use_metaclip and ds.add_prompts
+    row = ds[0]
+    assert row["pixels"].shape == (1, 28, 28, 3)
+    assert row["input_ids"].count(IMAGE_TOKEN_INDEX) == 1
+    assert row["modality_length"] > 0
+
+
 def test_prefetcher():
     from metamorph_tpu.train.prefetch import Prefetcher
 

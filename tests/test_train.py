@@ -114,8 +114,10 @@ def test_sharded_step_matches_single_device():
     l1 = jax.tree.leaves(s1["params"])
     l2 = jax.tree.leaves(jax.device_get(s2["params"]))
     for a, b in zip(l1, l2):
-        # fp32 reduction-order differences across shards, amplified by adam rsqrt
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+        # fp32 reduction-order differences across shards; Adam's first update
+        # is ~lr*sign(m/sqrt(v)), so a low-bit grad difference on a near-zero
+        # grad can move a param by up to ~2*lr regardless of grad magnitude
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3)
 
 
 @pytest.mark.skipif(jax.default_backend() == "cpu",

@@ -89,6 +89,42 @@ def test_grad_accum(tmp_path):
     assert np.isfinite(out["metrics"]["loss"])
 
 
+def test_mixed_K_accum_group_rejected(tmp_path):
+    """A grad-accum group whose microbatches disagree on num_image_tokens must
+    fail loudly (not silently stack wrong shapes / derive K from the last)."""
+    from metamorph_tpu.train.data import PackedCollator
+
+    cfg = tiny_cfg(total_steps=1, grad_accum_steps=2)
+
+    class MixedKData(FakeData):
+        def __iter__(self):
+            col = PackedCollator(num_image_tokens=4,
+                                 max_seq_len=cfg.train.max_seq_len,
+                                 num_image_slots=cfg.train.batch_size,
+                                 image_size=28)
+            K_seq = [1, 4]
+            i = 0
+            while True:
+                K = K_seq[i % 2]
+                i += 1
+                B = cfg.train.batch_size
+                ids = [[1, 2, IM_START_TOKEN_ID, IMAGE_TOKEN_INDEX, 128257, 7]
+                       for _ in range(B)]
+                labs = [[IGNORE_INDEX, IGNORE_INDEX, IM_START_TOKEN_ID, 0,
+                         128257, 7] for _ in range(B)]
+                packed, pixels = col(
+                    [{"input_ids": a, "labels": l,
+                      "pixels": np.zeros((1, 28, 28, 3), np.float32),
+                      "modality_length": 6} for a, l in zip(ids, labs)],
+                    num_image_tokens=K)
+                self.state["step_in_epoch"] += 1
+                yield packed, pixels
+
+    args = TrainerArgs(output_dir=str(tmp_path), save_steps=100, resume=False)
+    with pytest.raises(ValueError, match="mixed num_image_tokens"):
+        train(cfg, args, MixedKData(cfg))
+
+
 def test_multires_buckets(tmp_path):
     """Multi-res bucket training: per-batch K varies over the bucket set and
     steps run on each variant (image_token_len==0 analog, bucketed)."""
