@@ -7,8 +7,11 @@ tokens/sec/chip. Prints ONE JSON line.
 
 The north-star metric (BASELINE.md) is >=3000 interleaved tokens/sec/chip at 8B
 on v5p. This harness auto-sizes the LLM to the local chip's HBM (a v5e-16GB
-dev chip can't hold 8B + Adam states); the model size is recorded in the
-metric string and vs_baseline is measured against the 3000 tok/s/chip bar.
+dev chip can't hold 8B + Adam states) and reports, alongside raw tok/s/chip:
+  * MFU (analytic model FLOPs/step vs the chip's bf16 peak), and
+  * when the model is not 8B, a projected 8B tok/s/chip derived from the
+    measured MFU through the 8B-recipe FLOPs/token — vs_baseline then refers
+    to that projection and the metric string says so explicitly.
 """
 
 import json
@@ -66,6 +69,53 @@ def build_cfg():
                           offload_optimizer=bool(int(os.environ.get("BENCH_OFFLOAD", "0")))),
     )
     return cfg, size
+
+
+PEAK_BF16_TFLOPS = {
+    # per-chip dense bf16 peak (public spec sheets)
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0,
+    "TPU v5": 459.0, "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+    "TPU v3": 123.0,
+}
+
+
+def chip_peak_tflops():
+    import jax
+
+    if os.environ.get("BENCH_PEAK_TFLOPS"):
+        return float(os.environ["BENCH_PEAK_TFLOPS"])
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def train_step_flops(cfg, n_images: int) -> float:
+    """Model FLOPs per optimizer step (MFU convention: 6*params*tokens for
+    trained matmuls, 2x for frozen forward-only, causal attention scores at
+    half the full quadratic) — remat recompute is intentionally NOT counted."""
+    B, T = cfg.train.batch_size, cfg.train.max_seq_len
+    l, s = cfg.llama, cfg.siglip
+    D, F, Dh = l.hidden_size, l.intermediate_size, l.head_dim
+    H, KV, L = l.num_heads, l.num_kv_heads, l.num_layers
+    dec = L * (D * H * Dh + 2 * D * KV * Dh + H * Dh * D + 3 * D * F)
+    flops = 6.0 * B * T * dec
+    flops += 6.0 * B * T * D * l.vocab_size            # lm_head + chunked CE
+    flops += 6.0 * B * H * T * T * Dh * L * 0.5        # causal attn scores
+    # SigLIP tower: frozen (stop-gradient), forward only, 729 patch tokens/img
+    Ds, Fs, Ls = s.hidden_size, s.intermediate_size, s.num_layers
+    sig = Ls * (4 * Ds * Ds + 2 * Ds * Fs) + (s.patch_size ** 2 * 3 * Ds)
+    flops += 2.0 * n_images * s.num_patches * sig
+    # connector (fwd+bwd on image tokens) + vision head (fwd+bwd on B*T)
+    K = cfg.mm.num_image_tokens
+    proj = Ds * D + D * D
+    flops += 6.0 * n_images * K * proj
+    head = D * D + D * Ds
+    flops += 6.0 * B * T * head
+    return flops
 
 
 def build_batch(cfg):
@@ -256,12 +306,52 @@ def main():
 
     tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
     tok_s_chip = tokens_per_step * n_steps / dt / n_chips
+
+    # ---- MFU + 8B projection (BASELINE bar is 3000 tok/s/chip AT 8B) ----
+    n_images = 2 * cfg.train.batch_size
+    flops_step = train_step_flops(cfg, n_images)
+    peak = chip_peak_tflops()
     baseline = 3000.0
+    if size == "8b":
+        # the bar measured directly
+        vs = tok_s_chip / baseline
+        label = f"interleaved train tokens/sec/chip (8B LLM + SigLIP-SO400M, dual loss)"
+        projected = tok_s_chip
+        mfu = (flops_step * n_steps / dt / n_chips / (peak * 1e12)
+               if peak else None)
+    else:
+        # Honest extrapolation: measured MFU at this size, converted through
+        # the 8B-recipe FLOPs/token (B=8, T=4096). vs_baseline is labeled as
+        # projected — the raw small-model tok/s is NOT compared to the 8B bar.
+        mfu = (flops_step * n_steps / dt / n_chips / (peak * 1e12)
+               if peak else None)
+        from metamorph_tpu.config import LlamaConfig, TrainConfig as TC
+        import dataclasses as _dc
+
+        cfg8 = _dc.replace(cfg, llama=LlamaConfig(),
+                           train=TC(max_seq_len=4096, batch_size=8))
+        f8_per_tok = train_step_flops(cfg8, 16) / (8 * 4096)
+        # The 3000 tok/s/chip bar is defined on v5p (BASELINE.md); project the
+        # measured MFU through v5p's bf16 peak (v5p has a better byte/FLOP
+        # ratio than v5e, so carrying MFU over is conservative-to-neutral).
+        v5p_peak = PEAK_BF16_TFLOPS["TPU v5p"]
+        projected = (mfu * v5p_peak * 1e12 / f8_per_tok) if mfu else None
+        vs = (projected / baseline) if projected else None
+        label = (f"interleaved train tokens/sec/chip ({size} LLM + "
+                 f"SigLIP-SO400M, dual loss; vs_baseline = 8B-on-v5p "
+                 f"projection from measured MFU)")
     result = {
-        "metric": f"interleaved train tokens/sec/chip ({size} LLM + SigLIP-SO400M, dual loss)",
+        "metric": label,
         "value": round(tok_s_chip, 1),
         "unit": "tokens/sec/chip",
-        "vs_baseline": round(tok_s_chip / baseline, 3),
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "model_size": size,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "chip_peak_tflops_bf16": peak,
+        "model_tflops_per_step": round(flops_step / 1e12, 2),
+        "projected_8b_v5p_tok_s_chip": (round(projected, 1)
+                                        if projected is not None else None),
+        "baseline_8b_v5p_tok_s_chip": baseline,
     }
     print(json.dumps(result))
 
