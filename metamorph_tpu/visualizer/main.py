@@ -78,7 +78,15 @@ def main(argv=None):
         resolution=args.resolution, total_steps=args.total_steps)
     unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
 
-    step_fn, init_state = make_visualizer_train_step(tc, unet_cfg, vae_cfg)
+    # DDP over every available chip (reference: 1 node x 8 GPUs, submit.sh);
+    # params replicated, batch sharded on the data axis
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    step_fn, init_state = make_visualizer_train_step(tc, unet_cfg, vae_cfg,
+                                                     mesh=mesh)
     state = init_state(jax.random.PRNGKey(tc.seed), dtype=jnp.float32)
     if args.sd:
         from metamorph_tpu.visualizer.hf_import import (unet_params_from_hf,
@@ -115,9 +123,11 @@ def main(argv=None):
 
     step = 0
     t_last = time.time()
+    state = jax.device_put(state, repl)
     for sig_px, vae_px in batches():
-        embeds = encode(sig_params, jnp.asarray(sig_px))
-        state, loss = step_fn(state, embeds, jnp.asarray(vae_px),
+        embeds = encode(sig_params, jax.device_put(jnp.asarray(sig_px), batch_sh))
+        state, loss = step_fn(state, embeds,
+                              jax.device_put(jnp.asarray(vae_px), batch_sh),
                               jax.random.PRNGKey(step))
         step += 1
         if step % 10 == 0:

@@ -2,9 +2,11 @@
 
 Replaces the demo's StableDiffusionPipeline call
 (`inference/demo.py:137-180`): per 64-token chunk of generated visual
-embeddings, run adapter -> pad to 77 -> CFG denoising loop (DDIM) -> VAE
-decode. The CFG null conditioning is the all-zeros 77x768 tensor, matching the
-training dropout (`visualization/train.py:514-518`).
+embeddings, run adapter -> pad to 77 -> CFG denoising loop -> VAE decode.
+The default sampler is PNDM at 50 steps — the SD-1.5 pipeline default the
+reference demo runs — with DDIM available via `scheduler="ddim"`. The CFG
+null conditioning is the all-zeros 77x768 tensor, matching the training
+dropout (`visualization/train.py:514-518`).
 """
 
 from __future__ import annotations
@@ -17,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from metamorph_tpu.visualizer.adapter import apply_adapter, pad_tokens
-from metamorph_tpu.visualizer.scheduler import DDIMScheduler, SchedulerConfig
+from metamorph_tpu.visualizer.scheduler import (DDIMScheduler, PNDMScheduler,
+                                                SchedulerConfig)
 from metamorph_tpu.visualizer.unet import UNetConfig, unet_apply
 from metamorph_tpu.visualizer.vae import VAEConfig, vae_decode
 
@@ -34,10 +37,10 @@ def render(
     guidance_scale: float = 7.5,
     num_inference_steps: int = 50,
     latent_size: int = 64,
+    scheduler: str = "pndm",         # pndm (reference demo default) | ddim
     scheduler_cfg: SchedulerConfig = SchedulerConfig(),
 ) -> jnp.ndarray:
     """Returns images [B, H, W, 3] in [0, 1]."""
-    sched = DDIMScheduler(scheduler_cfg)
     B = siglip_embeds.shape[0]
 
     cond = pad_tokens(apply_adapter(adapter_params, siglip_embeds,
@@ -48,15 +51,25 @@ def render(
     latents = jax.random.normal(
         rng, (B, latent_size, latent_size, unet_cfg.sample_channels), jnp.float32)
 
-    ts = sched.timesteps(num_inference_steps)
-    for i, t in enumerate(ts):
-        t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+    def eps_fn(latents, t):
         lat2 = jnp.concatenate([latents, latents], axis=0)
         tt = jnp.full((2 * B,), int(t), jnp.int32)
         eps = unet_apply(unet_params, unet_cfg, lat2, tt, ctx)
         eps_u, eps_c = jnp.split(eps, 2, axis=0)
-        eps = eps_u + guidance_scale * (eps_c - eps_u)
-        latents = sched.step(eps, int(t), int(t_prev), latents)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    if scheduler == "pndm":
+        sched = PNDMScheduler(scheduler_cfg)
+        for t in sched.set_timesteps(num_inference_steps):
+            latents = sched.step(eps_fn(latents, t), int(t), latents)
+    elif scheduler == "ddim":
+        sched = DDIMScheduler(scheduler_cfg)
+        ts = sched.timesteps(num_inference_steps)
+        for i, t in enumerate(ts):
+            t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+            latents = sched.step(eps_fn(latents, t), int(t), int(t_prev), latents)
+    else:
+        raise ValueError(f"unknown scheduler {scheduler}")
 
     images = vae_decode(vae_params, vae_cfg, latents)
     return jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)

@@ -1,8 +1,11 @@
-"""Diffusion noise schedulers: DDPM (train) + DDIM (fast sampling).
+"""Diffusion noise schedulers: DDPM (train), DDIM, and PNDM (demo parity).
 
 Replaces diffusers' `DDPMScheduler` used by the reference visualizer
 (`visualization/train.py:349-353`, `add_noise` at `:526-534`). SD-1.5 config:
 scaled_linear betas 0.00085 -> 0.012 over 1000 steps, epsilon prediction.
+PNDM (PLMS with skip_prk_steps, steps_offset=1, set_alpha_to_one=False) is the
+StableDiffusionPipeline default the reference demo renders with at 50 steps
+(`inference/demo.py:156-180`).
 """
 
 from __future__ import annotations
@@ -68,6 +71,77 @@ class DDPMScheduler:
         else:
             noise = jnp.zeros_like(sample)
         return mean + jnp.where(t > 0, jnp.sqrt(jnp.maximum(var, 1e-20)), 0.0) * noise
+
+
+class PNDMScheduler:
+    """PLMS sampler matching diffusers' PNDMScheduler as configured by
+    SD-1.5 (skip_prk_steps=True, steps_offset=1, set_alpha_to_one=False):
+    first step is a plain (DDIM-form) step with an eps average on the repeated
+    timestep, then 2nd/3rd/4th-order linear multistep on the eps history.
+    Stateful across `step` calls — call `set_timesteps` per sampling run."""
+
+    def __init__(self, cfg: SchedulerConfig = SchedulerConfig(),
+                 steps_offset: int = 1):
+        self.cfg = cfg
+        self.steps_offset = steps_offset
+        betas = make_betas(cfg)
+        self.alphas_cumprod = np.cumprod(1.0 - betas)
+        self.final_alpha_cumprod = self.alphas_cumprod[0]  # set_alpha_to_one=False
+        self._reset()
+
+    def _reset(self):
+        self.ets: list = []
+        self.counter = 0
+        self.cur_sample = None
+
+    def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        self._reset()
+        self.step_ratio = self.cfg.num_train_timesteps // num_inference_steps
+        ts = (np.arange(0, num_inference_steps) * self.step_ratio).round()
+        ts = ts + self.steps_offset
+        # skip_prk_steps: plms timesteps repeat the second-to-last ascending
+        # entry once (diffusers pndm.set_timesteps)
+        plms = np.concatenate([ts[:-1], ts[-2:-1], ts[-1:]])[::-1]
+        self.timesteps = plms.astype(np.int64)
+        return self.timesteps
+
+    def _prev_sample(self, sample, t: int, t_prev: int, eps):
+        a_t = self.alphas_cumprod[t]
+        a_prev = (self.alphas_cumprod[t_prev] if t_prev >= 0
+                  else self.final_alpha_cumprod)
+        sample_coeff = (a_prev / a_t) ** 0.5
+        denom = a_t * (1 - a_prev) ** 0.5 + (a_t * (1 - a_t) * a_prev) ** 0.5
+        return (sample_coeff * sample
+                - (a_prev - a_t) * eps / denom)
+
+    def step(self, model_output: jnp.ndarray, t: int, sample: jnp.ndarray
+             ) -> jnp.ndarray:
+        """One PLMS step (diffusers step_plms semantics)."""
+        t = int(t)
+        t_prev = t - self.step_ratio
+        if self.counter != 1:
+            self.ets = self.ets[-3:] + [model_output]
+        else:
+            t_prev = t
+            t = t + self.step_ratio
+
+        if len(self.ets) == 1 and self.counter == 0:
+            eps = model_output
+            self.cur_sample = sample
+        elif len(self.ets) == 1 and self.counter == 1:
+            eps = (model_output + self.ets[-1]) / 2
+            sample = self.cur_sample
+            self.cur_sample = None
+        elif len(self.ets) == 2:
+            eps = (3 * self.ets[-1] - self.ets[-2]) / 2
+        elif len(self.ets) == 3:
+            eps = (23 * self.ets[-1] - 16 * self.ets[-2] + 5 * self.ets[-3]) / 12
+        else:
+            eps = (55 * self.ets[-1] - 59 * self.ets[-2] + 37 * self.ets[-3]
+                   - 9 * self.ets[-4]) / 24
+
+        self.counter += 1
+        return self._prev_sample(sample, t, t_prev, eps)
 
 
 class DDIMScheduler:

@@ -94,9 +94,14 @@ def visualizer_loss(adapter_params, unet_params, vae_params, cfgs,
 
 def make_visualizer_train_step(tc: VisualizerTrainConfig, unet_cfg: UNetConfig,
                                vae_cfg: VAEConfig,
-                               sched: Optional[DDPMScheduler] = None):
+                               sched: Optional[DDPMScheduler] = None,
+                               mesh=None):
     """Returns (step_fn, init_opt_state). step_fn(state, siglip, images, rng)
-    -> (state, loss). state = {adapter, unet, vae, opt_adapter, opt_unet}."""
+    -> (state, loss). state = {adapter, unet, vae, opt_adapter, opt_unet}.
+
+    With `mesh`, the step compiles DDP-equivalent to the reference's 8-GPU
+    NCCL setup (`visualization/train.py:394-395`): params/optimizer replicated,
+    the batch sharded over every mesh axis, XLA all-reducing the grads."""
     sched = sched or DDPMScheduler()
     cfgs = (tc, unet_cfg, vae_cfg, sched)
     tx_adapter = optax.adamw(lr_schedule(tc.learning_rate, tc.total_steps),
@@ -141,7 +146,18 @@ def make_visualizer_train_step(tc: VisualizerTrainConfig, unet_cfg: UNetConfig,
                 "opt_adapter": tx_adapter.init(adapter),
                 "opt_unet": tx_unet.init(unet)}
 
-    return jax.jit(step), init_state
+    if mesh is None:
+        return jax.jit(step), init_state
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(mesh.axis_names))  # batch over all axes
+    jit_step = jax.jit(step,
+                       in_shardings=(repl, batch_sh, batch_sh, repl),
+                       out_shardings=(repl, repl),
+                       donate_argnums=(0,))
+    return jit_step, init_state
 
 
 # ---------------------------------------------------------------------------

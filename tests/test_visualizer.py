@@ -136,3 +136,100 @@ def test_render_pipeline():
                  guidance_scale=7.5, num_inference_steps=3, latent_size=8)
     assert img.shape == (1, 16, 16, 3)
     assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+
+
+def test_visualizer_sharded_step_matches_single_device(mesh8):
+    """DDP-equivalent mesh step == plain single-device step (params replicated,
+    batch sharded over all axes) — reference visualization/train.py:394-395."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tc = VisualizerTrainConfig(adapter_mode="mlp", num_tokens=4, cfg_prob=0.5,
+                               noise_offset=0.05, learning_rate=1e-3,
+                               total_steps=100, batch_size=8, resolution=16)
+    unet_cfg = UNetConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    from metamorph_tpu.visualizer.adapter import init_adapter as ia
+    import optax
+    from metamorph_tpu.visualizer.train import lr_schedule as lrs
+
+    def fresh_state(init_state):
+        state = init_state(jax.random.PRNGKey(0))
+        state["adapter"] = ia(jax.random.PRNGKey(1), mode="mlp", input_dim=12,
+                              hidden_dim=16,
+                              output_dim=unet_cfg.cross_attention_dim,
+                              num_layers=2)
+        tx = optax.adamw(lrs(tc.learning_rate, tc.total_steps), weight_decay=0.01)
+        state["opt_adapter"] = tx.init(state["adapter"])
+        return state
+
+    sig = jax.random.normal(jax.random.PRNGKey(2), (8, 4, 12))
+    imgs = jax.random.normal(jax.random.PRNGKey(3), (8, 16, 16, 3)) * 0.5
+
+    step1, init1 = make_visualizer_train_step(tc, unet_cfg, vae_cfg)
+    s1 = fresh_state(init1)
+    s1, l1 = step1(s1, sig, imgs, jax.random.PRNGKey(9))
+
+    stepm, initm = make_visualizer_train_step(tc, unet_cfg, vae_cfg, mesh=mesh8)
+    sm = fresh_state(initm)
+    repl = NamedSharding(mesh8, P())
+    bsh = NamedSharding(mesh8, P(mesh8.axis_names))
+    sm = jax.device_put(sm, repl)
+    sm, lm = stepm(sm, jax.device_put(sig, bsh), jax.device_put(imgs, bsh),
+                   jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(float(l1), float(lm), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1["adapter"]),
+                    jax.tree.leaves(jax.device_get(sm["adapter"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_pndm_timesteps_match_diffusers():
+    """SD-1.5 PNDM (skip_prk_steps, steps_offset=1): 50 inference steps give
+    51 plms timesteps starting [981, 961, 961, 941, ...] and ending at 1."""
+    from metamorph_tpu.visualizer.scheduler import PNDMScheduler
+
+    sched = PNDMScheduler()
+    ts = sched.set_timesteps(50)
+    assert len(ts) == 51
+    assert list(ts[:4]) == [981, 961, 961, 941]
+    assert ts[-1] == 1
+
+
+def test_pndm_exact_eps_recovers_x0():
+    """With the true constant eps at every call, every multistep combination
+    collapses to that eps and the chain walks q(x_t) back to ~x0."""
+    from metamorph_tpu.visualizer.scheduler import PNDMScheduler
+
+    sched = PNDMScheduler()
+    ddpm = DDPMScheduler()
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    ts = sched.set_timesteps(50)
+    xt = ddpm.add_noise(x0, noise, jnp.asarray([int(ts[0])]))
+    for t in ts:
+        xt = sched.step(noise, int(t), xt)
+    # final state is q(x_{t=-19}) clamped to final_alpha_cumprod (= a_0)
+    a0 = float(np.asarray(ddpm.alphas_cumprod)[0])
+    expect = np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(noise)
+    np.testing.assert_allclose(np.asarray(xt), expect, rtol=2e-3, atol=2e-3)
+
+
+def test_render_pipeline_pndm():
+    """PNDM render path end-to-end on tiny shapes."""
+    from metamorph_tpu.visualizer.pipeline import render
+
+    unet_cfg = UNetConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    adapter = init_adapter(jax.random.PRNGKey(0), mode="mlp", input_dim=12,
+                           hidden_dim=16, output_dim=unet_cfg.cross_attention_dim,
+                           num_layers=2)
+    unet = init_unet_params(jax.random.PRNGKey(1), unet_cfg)
+    vae = init_vae_params(jax.random.PRNGKey(2), vae_cfg)
+    sig = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    out = render(adapter, unet, vae, unet_cfg, vae_cfg, sig,
+                 jax.random.PRNGKey(4), num_inference_steps=4, latent_size=8,
+                 scheduler="pndm")
+    assert out.shape[0] == 1 and out.shape[-1] == 3
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
