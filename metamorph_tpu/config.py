@@ -128,6 +128,13 @@ class MultimodalConfig:
     freeze_vision: bool = True           # stop-gradient through the vision tower
     image_aspect_ratio: str = "square"   # square | pad | anyres
     mm_use_im_start_end: bool = True
+    # anyres tiling (`metamorph_arch.py:203-237`): merge type for the per-tile
+    # features ("flat" = no merge; "spatial"/"spatial_unpad" = grid restitch,
+    # unpad variant drops the letterbox rows and appends a learned newline
+    # column). Pinpoints are candidate (w, h) canvas resolutions.
+    mm_patch_merge_type: str = "flat"
+    image_grid_pinpoints: Tuple[Tuple[int, int], ...] = (
+        (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
 
 
 @dataclass(frozen=True)
@@ -208,12 +215,19 @@ class MetaMorphConfig:
 
     @staticmethod
     def from_dict(d: dict) -> "MetaMorphConfig":
+        def detuple(v):
+            # JSON has no tuples; restore them recursively (nested lists like
+            # image_grid_pinpoints must come back hashable for jit static args)
+            if isinstance(v, list):
+                return tuple(detuple(x) for x in v)
+            return v
+
         return MetaMorphConfig(
             llama=LlamaConfig(**d.get("llama", {})),
             siglip=SiglipConfig(**d.get("siglip", {})),
-            mm=MultimodalConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+            mm=MultimodalConfig(**{k: detuple(v)
                                    for k, v in d.get("mm", {}).items()}),
-            mesh=MeshConfig(**{k: (tuple(v) if isinstance(v, list) else v)
+            mesh=MeshConfig(**{k: detuple(v)
                                for k, v in d.get("mesh", {}).items()}),
             train=TrainConfig(**d.get("train", {})),
         )

@@ -56,6 +56,8 @@ def main(argv=None):
     parser.add_argument("--siglip", default=None, help="HF SigLIP weights dir")
     parser.add_argument("--visualizer", default=None)
     parser.add_argument("--image", required=True)
+    parser.add_argument("--image-aspect-ratio", default="square",
+                        choices=["square", "pad", "anyres"])
     parser.add_argument("--prompt", default="What is in this image?")
     parser.add_argument("--max-new-tokens", type=int, default=256)
     parser.add_argument("--out-dir", default="./demo_out")
@@ -79,14 +81,42 @@ def main(argv=None):
                    special_tokens=True)
 
     frames = load_frames(args.image)
-    pixels = np.stack([siglip_preprocess(f, cfg.siglip.image_size) for f in frames])
     prompt = build_prompt(args.prompt, len(frames))
     ids = tokenizer_image_token(prompt, lambda s: tok(s).input_ids,
                                 bos_token_id=tok.bos_token_id)
 
-    packed = pack_sequences([ids], None, cfg.mm.num_image_tokens,
-                            len(ids) + len(frames) * cfg.mm.num_image_tokens,
-                            len(frames))
+    if args.image_aspect_ratio == "anyres":
+        from metamorph_tpu.multimodal.anyres import (build_batch_plan,
+                                                     preprocess_anyres)
+
+        S = cfg.siglip.image_size
+        P = S // cfg.siglip.patch_size
+        views, sizes = zip(*[
+            preprocess_anyres(f, list(cfg.mm.image_grid_pinpoints), S)
+            for f in frames])
+        pixels = np.concatenate(views, axis=0)
+        view_map, tokens_per_image = build_batch_plan(
+            list(sizes), [v.shape[0] for v in views],
+            list(cfg.mm.image_grid_pinpoints), S, P,
+            cfg.mm.mm_patch_merge_type, capacity=pixels.shape[0] * (P * P + P))
+        packed = pack_sequences([ids], None, cfg.mm.num_image_tokens,
+                                len(ids) + sum(tokens_per_image), len(frames),
+                                tokens_per_image=tokens_per_image,
+                                gather_capacity=view_map.shape[0])
+        import dataclasses as _dc
+
+        packed = _dc.replace(packed, view_map=view_map)
+    else:
+        if args.image_aspect_ratio == "pad":
+            from metamorph_tpu.multimodal.mm_utils import SIGLIP_MEAN, expand2square
+
+            bg = tuple(int(x * 255) for x in SIGLIP_MEAN)
+            frames = [expand2square(f, bg) for f in frames]
+        pixels = np.stack([siglip_preprocess(f, cfg.siglip.image_size)
+                           for f in frames])
+        packed = pack_sequences([ids], None, cfg.mm.num_image_tokens,
+                                len(ids) + len(frames) * cfg.mm.num_image_tokens,
+                                len(frames))
     batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
     out = generate(params, cfg, batch, jnp.asarray(pixels),
                    max_new_tokens=args.max_new_tokens)

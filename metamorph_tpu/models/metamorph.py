@@ -55,6 +55,13 @@ def init_metamorph_params(rng: jax.Array, cfg: MetaMorphConfig,
                                                 dtype),
             "channel_mixer": proj_lib._dense_init(km2, D, D, dtype),
         }
+    if "unpad" in cfg.mm.mm_patch_merge_type:
+        # learned newline column for anyres spatial_unpad merge
+        # (`metamorph_arch.py:78-82`: randn(D)/sqrt(D))
+        D = cfg.llama.hidden_size
+        params["image_newline"] = (
+            jax.random.normal(jax.random.fold_in(rng, 11), (D,), jnp.float32)
+            * (D ** -0.5)).astype(dtype)
     return params
 
 
@@ -113,13 +120,40 @@ def apply_vision_head(params: Params, cfg: MetaMorphConfig, h: jnp.ndarray
     return pred
 
 
+def image_token_table(params: Params, cfg: MetaMorphConfig,
+                      batch: Dict[str, jnp.ndarray], projected: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Flat [A, D] image-token table the packer's img_gather_idx indexes into.
+
+    Uniform path: slot-major reshape of [N, K, D]. Anyres path (batch carries
+    `view_map`): one static gather over the flattened per-view tokens with the
+    learned newline param selected at NEWLINE_IDX positions and zeros at
+    PAD_IDX — the static-shape equivalent of the reference's dynamic spatial
+    merge (`metamorph_arch.py:203-237`)."""
+    if "view_map" in batch:
+        D = projected.shape[-1]
+        assert projected.shape[1] == cfg.siglip.num_patches, (
+            "anyres merge needs the raw patch grid; set "
+            "mm.image_token_reduction='none'")
+        flat = projected.reshape(-1, D)
+        vm = batch["view_map"]
+        safe = jnp.take(flat, jnp.maximum(vm, 0), axis=0)
+        newline = params.get("image_newline")
+        if newline is None:
+            newline = jnp.zeros((D,), projected.dtype)
+        return jnp.where((vm == -1)[:, None], newline.astype(projected.dtype),
+                         jnp.where((vm >= 0)[:, None], safe, 0.0))
+    N, K, D = projected.shape
+    return projected.reshape(N * K, D)
+
+
 def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
                     projected: jnp.ndarray) -> jnp.ndarray:
     """Scatter projected image tokens into the text embedding table output —
     the static equivalent of the reference splice loop.
 
     The flat image-token table is explicitly constrained to replicated: one
-    small all-gather ([N*K, D], a few MB) at a well-defined point, after which
+    small all-gather ([A, D], a few MB) at a well-defined point, after which
     the gather has a replicated operand + batch-sharded indices — a pattern
     GSPMD partitions natively (no involuntary full rematerialization)."""
     from jax.sharding import PartitionSpec as P
@@ -127,9 +161,10 @@ def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.n
     from metamorph_tpu.parallel.context import constrain
 
     text_emb = llama_lib.embed_tokens(params["llama"], batch["tokens"])
-    N, K, D = projected.shape
+    table = image_token_table(params, cfg, batch, projected)
+    D = table.shape[-1]
     img_flat = jnp.concatenate(
-        [projected.reshape(N * K, D), jnp.zeros((1, D), projected.dtype)], axis=0)
+        [table, jnp.zeros((1, D), table.dtype)], axis=0)
     img_flat = constrain(img_flat, P(None, None))
     gathered = jnp.take(img_flat, batch["img_gather_idx"], axis=0)  # [B,T,D]
     gathered = constrain(gathered, P(("data", "fsdp"), None, None))
@@ -206,9 +241,16 @@ def metamorph_forward(
     # counts (anyres). The vision head runs on every position and is weighted
     # by the answer-image mask — its FLOPs are ~0.1% of the decoder's.
     N, K, Dv = targets.shape
-    tgt_flat = jnp.concatenate(
-        [targets.reshape(N * K, Dv).astype(jnp.float32),
-         jnp.zeros((1, Dv), jnp.float32)], axis=0)
+    if "view_map" in batch:
+        # reference anyres produces no AR targets (`metamorph_arch.py:193-240`:
+        # target_prob stays None); anyres images are prompt images only, so
+        # the mask is all-zero and the target table is inert
+        A = batch["view_map"].shape[0]
+        tgt_flat = jnp.zeros((A + 1, Dv), jnp.float32)
+    else:
+        tgt_flat = jnp.concatenate(
+            [targets.reshape(N * K, Dv).astype(jnp.float32),
+             jnp.zeros((1, Dv), jnp.float32)], axis=0)
     tgt_flat = constrain(tgt_flat, P(None, None))
     tgt = jnp.take(tgt_flat, batch["img_gather_idx"], axis=0)        # [B,T,Dv]
     tgt = constrain(tgt, P(("data", "fsdp"), None, None))

@@ -52,6 +52,9 @@ class PackedBatch:
     ar_target_idx: np.ndarray   # [A] int32 — index into flattened targets [N*K, Dv]
     ar_valid: np.ndarray        # [A] float32 — 1 = real answer-image token
     image_slot_used: np.ndarray # [N] float32 — 1 = slot holds a real image
+    # anyres only: [A] index into the flattened per-view token table
+    # (view*P*P + patch); -1 = learned newline row, -2 = unused capacity
+    view_map: Optional[np.ndarray] = None
 
     @property
     def seq_len(self) -> int:
@@ -65,6 +68,8 @@ def pack_sequences(
     max_seq_len: int,
     num_image_slots: int,
     padding_side: str = "right",
+    tokens_per_image: Optional[Sequence[int]] = None,
+    gather_capacity: Optional[int] = None,
 ) -> PackedBatch:
     """Pack a batch of sentinel-bearing token sequences into static shapes.
 
@@ -72,12 +77,24 @@ def pack_sequences(
     numbered left-to-right across the batch (sample 0's images first), matching
     the reference collator's flattened image stacking (`train.py:1258-1284`).
     A sample with zero sentinels still consumes one slot (reference quirk).
+
+    `tokens_per_image` (anyres) gives each slot a variable token count; slot
+    base offsets in the flat image-token table become cumulative sums and the
+    table capacity is `gather_capacity` (the dummy row sits at that index).
+    The uniform path is tokens_per_image=None: slot i starts at i*K.
     """
     B = len(input_ids)
     K = num_image_tokens
     T = max_seq_len
     N = num_image_slots
-    A = N * K
+    if tokens_per_image is not None:
+        offsets = [0]
+        for n in tokens_per_image:
+            offsets.append(offsets[-1] + n)
+        A = gather_capacity if gather_capacity is not None else offsets[-1]
+    else:
+        offsets = None
+        A = N * K
 
     tokens = np.zeros((B, T), np.int32)
     out_labels = np.full((B, T), IGNORE_INDEX, np.int32)
@@ -130,11 +147,19 @@ def pack_sequences(
                 if i < len(sentinel_positions):
                     # answer image iff label right before the sentinel is <image_start>
                     answer = bool(clab) and clab[-1] == IM_START_TOKEN_ID
-                    if len(seq_tok) + K > T:
+                    if offsets is not None:
+                        if cur_image_idx >= len(offsets) - 1:
+                            raise ValueError(
+                                f"batch consumes image {cur_image_idx} but "
+                                f"tokens_per_image has {len(offsets) - 1} entries")
+                        Ki = offsets[cur_image_idx + 1] - offsets[cur_image_idx]
+                    else:
+                        Ki = K
+                    if len(seq_tok) + Ki > T:
                         need_to_stop = True  # image -> placeholder (ref :324-326)
                     else:
                         slot = cur_image_idx
-                        for j in range(K):
+                        for j in range(Ki):
                             seq_tok.append(0); seq_lab.append(IGNORE_INDEX)
                             seq_img.append(slot); seq_j.append(j); seq_ans.append(answer)
                     cur_image_idx += 1
@@ -152,7 +177,8 @@ def pack_sequences(
                     raise ValueError(
                         f"batch needs image slot {img} but only {N} allotted")
                 is_img[b, t] = True
-                gather[b, t] = img * K + seq_j[s]
+                base = offsets[img] if offsets is not None else img * K
+                gather[b, t] = base + seq_j[s]
                 slot_used[img] = 1.0
                 out_labels[b, t] = IGNORE_INDEX
                 if seq_ans[s]:
@@ -163,7 +189,7 @@ def pack_sequences(
                     if s > 0 and n_ar < A:
                         ar_b[n_ar] = b
                         ar_p[n_ar] = t - 1
-                        ar_t[n_ar] = img * K + seq_j[s]
+                        ar_t[n_ar] = base + seq_j[s]
                         ar_v[n_ar] = 1.0
                         n_ar += 1
             else:
@@ -182,5 +208,11 @@ def pack_sequences(
 
 
 def batch_to_arrays(batch: PackedBatch) -> dict:
-    """Dict of arrays for feeding the jitted step (pytree-friendly)."""
-    return {f.name: getattr(batch, f.name) for f in dataclasses.fields(PackedBatch)}
+    """Dict of arrays for feeding the jitted step (pytree-friendly; absent
+    optional fields are dropped so every leaf is an array)."""
+    out = {}
+    for f in dataclasses.fields(PackedBatch):
+        v = getattr(batch, f.name)
+        if v is not None:
+            out[f.name] = v
+    return out

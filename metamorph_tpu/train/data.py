@@ -250,7 +250,7 @@ def draw_bounding_boxes(arr: np.ndarray, bboxes) -> np.ndarray:
 @dataclass
 class DataConfig:
     data_path: str = ""
-    image_aspect_ratio: str = "square"   # square | pad
+    image_aspect_ratio: str = "square"   # square | pad | anyres
     image_size: int = 384
     is_multimodal: bool = True
     mm_use_im_start_end: bool = True
@@ -258,6 +258,9 @@ class DataConfig:
     model_max_length: int = 4096
     max_images_per_sample: int = 70      # reference cap (`train.py:1229-1230`)
     lazy_preprocess: bool = True
+    # anyres tiling candidates, (w, h) canvases (`mm_utils.py:125-151`)
+    grid_pinpoints: Tuple[Tuple[int, int], ...] = (
+        (384, 768), (768, 384), (768, 768), (1152, 384), (384, 1152))
 
 
 class LazySupervisedDataset:
@@ -405,12 +408,25 @@ class LazySupervisedDataset:
             else:
                 images = [self._load_image(image_file)]
 
-            pixels = np.stack([self._preprocess_pixels(im) for im in images])
+            if self.cfg.image_aspect_ratio == "anyres":
+                from metamorph_tpu.multimodal.anyres import preprocess_anyres
+
+                views, sizes = [], []
+                for im in images:
+                    v, s = preprocess_anyres(im, list(self.cfg.grid_pinpoints),
+                                             self.cfg.image_size)
+                    views.append(v)
+                    sizes.append(s)
+                pixels, image_sizes = views, sizes
+            else:
+                pixels = np.stack([self._preprocess_pixels(im) for im in images])
+                image_sizes = None
             convs = preprocess_multimodal(
                 copy.deepcopy([e["conversations"] for e in sources]),
                 self.cfg.mm_use_im_start_end)
         else:
             pixels = None
+            image_sizes = None
             convs = copy.deepcopy([e["conversations"] for e in sources])
 
         out = preprocess(convs, self.tokenize, has_image=has_image,
@@ -428,9 +444,13 @@ class LazySupervisedDataset:
         if pixels is None and self.cfg.is_multimodal:
             # text-only sample still carries one dummy image (`train.py:1239-1242`)
             S = self.cfg.image_size
-            pixels = np.zeros((1, S, S, 3), np.float32)
+            if self.cfg.image_aspect_ratio == "anyres":
+                pixels, image_sizes = [np.zeros((1, S, S, 3), np.float32)], [None]
+            else:
+                pixels = np.zeros((1, S, S, 3), np.float32)
 
         return {"input_ids": ids, "labels": labels, "pixels": pixels,
+                "image_sizes": image_sizes,
                 "modality_length": (len(ids) if has_image else -len(ids))}
 
 
@@ -443,16 +463,69 @@ class PackedCollator:
     """Collate N samples into one fixed-shape PackedBatch + pixel stack.
 
     `num_image_tokens` may be overridden per call (multi-res bucket training,
-    the reference's image_token_len==0 path bucketed to static shapes)."""
+    the reference's image_token_len==0 path bucketed to static shapes).
+
+    `image_aspect_ratio="anyres"`: instances carry per-image view stacks +
+    original sizes; the collator builds the batch view_map / tokens_per_image
+    plan (static capacities) and a padded view-pixel stack."""
 
     num_image_tokens: int
     max_seq_len: int
     num_image_slots: int
     image_size: int = 384
+    image_aspect_ratio: str = "square"
+    grid_pinpoints: Sequence[Tuple[int, int]] = ()
+    merge_type: str = "spatial_unpad"
+    patch_size: int = 14
+    view_capacity: int = 0    # 0 -> derived from pinpoints * slots
+    token_capacity: int = 0   # 0 -> derived (view_capacity * (P^2 + P))
+
+    def _anyres_caps(self) -> Tuple[int, int, int]:
+        S, p = self.image_size, self.patch_size
+        P = S // p
+        max_tiles = max((w // S) * (h // S) for w, h in self.grid_pinpoints)
+        vc = self.view_capacity or self.num_image_slots * (1 + max_tiles)
+        tc = self.token_capacity or vc * (P * P + P)
+        return P, vc, tc
+
+    def _collate_anyres(self, instances) -> Tuple[PackedBatch, np.ndarray]:
+        from metamorph_tpu.multimodal.anyres import build_batch_plan
+
+        P, vc, tc = self._anyres_caps()
+        S = self.image_size
+        views, sizes, n_views = [], [], []
+        for inst in instances:
+            for v, sz in zip(inst["pixels"], inst["image_sizes"]):
+                views.append(v)
+                sizes.append(sz)
+                n_views.append(v.shape[0])
+        view_map, tokens_per_image = build_batch_plan(
+            sizes, n_views, list(self.grid_pinpoints), S, P,
+            self.merge_type, tc)
+        packed = pack_sequences(
+            [inst["input_ids"] for inst in instances],
+            [inst["labels"] for inst in instances],
+            self.num_image_tokens, self.max_seq_len, self.num_image_slots,
+            tokens_per_image=tokens_per_image, gather_capacity=tc)
+        import dataclasses as _dc
+
+        packed = _dc.replace(packed, view_map=view_map)
+        total_views = sum(n_views)
+        if total_views > vc:
+            raise ValueError(f"batch has {total_views} anyres views > "
+                             f"capacity {vc}")
+        pixels = np.zeros((vc, S, S, 3), np.float32)
+        off = 0
+        for v in views:
+            pixels[off:off + v.shape[0]] = v
+            off += v.shape[0]
+        return packed, pixels
 
     def __call__(self, instances: Sequence[Dict[str, Any]],
                  num_image_tokens: Optional[int] = None
                  ) -> Tuple[PackedBatch, np.ndarray]:
+        if self.image_aspect_ratio == "anyres":
+            return self._collate_anyres(instances)
         K = num_image_tokens or self.num_image_tokens
         ids = [inst["input_ids"] for inst in instances]
         labels = [inst["labels"] for inst in instances]
