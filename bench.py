@@ -148,24 +148,37 @@ def build_batch(cfg):
 
 def bench_decode(cfg, size):
     """KV-cache greedy decode tokens/sec (the reference recomputes the full
-    sequence per token — use_cache=False, metamorph_llama.py:510)."""
+    sequence per token — use_cache=False, metamorph_llama.py:510).
+    BENCH_DECODE_BATCH>1 measures the batched serving path (left-padded)."""
     import jax
     import jax.numpy as jnp
 
-    from metamorph_tpu.inference.decode import greedy_decode
+    from metamorph_tpu.inference.decode import (batched_greedy_decode,
+                                                greedy_decode)
     from metamorph_tpu.models import llama as L
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     T0, NEW = 256, 128
-    prompt_ids = jnp.asarray(rng.integers(10, 100000, (1, T0)).astype(np.int32))
+    B = int(os.environ.get("BENCH_DECODE_BATCH", 1))
+    prompt_ids = jnp.asarray(rng.integers(10, 100000, (B, T0)).astype(np.int32))
     prompt = L.embed_tokens(params["llama"], prompt_ids)
 
-    def run():
-        out = greedy_decode(params, cfg, prompt, max_new_tokens=NEW, max_images=1)
-        jax.block_until_ready(out["ids"])
-        return out
+    if B > 1:
+        mask = jnp.ones((B, T0), jnp.int32)
+
+        def run():
+            out = batched_greedy_decode(params, cfg, prompt, mask,
+                                        max_new_tokens=NEW, max_images=1)
+            jax.block_until_ready(out["ids"])
+            return out
+    else:
+        def run():
+            out = greedy_decode(params, cfg, prompt, max_new_tokens=NEW,
+                                max_images=1)
+            jax.block_until_ready(out["ids"])
+            return out
 
     t0 = time.time()
     out = run()
@@ -175,11 +188,13 @@ def bench_decode(cfg, size):
     total_steps = 0
     for _ in range(n_rep):
         out = run()
-        total_steps += int(out["steps"])
+        total_steps += int(out["steps"]) * B
     dt = time.time() - t0
     tok_s = total_steps / dt
+    label = f"greedy decode new tokens/sec ({size} LLM, KV cache" + (
+        f", batch={B})" if B > 1 else ")")
     print(json.dumps({
-        "metric": f"greedy decode new tokens/sec ({size} LLM, KV cache)",
+        "metric": label,
         "value": round(tok_s, 1),
         "unit": "tokens/sec",
         "vs_baseline": round(tok_s / 10.0, 3),  # reference O(T^2) CPU-bound loop ~10 tok/s class

@@ -201,6 +201,183 @@ def greedy_decode(
     }
 
 
+class BatchedDecodeState(NamedTuple):
+    rng: jax.Array
+    cache: Dict[str, jnp.ndarray]
+    cache_len: jnp.ndarray        # scalar int32 — slots filled (shared; left-pad)
+    key_mask: jnp.ndarray         # [B, S] bool — valid cache slots per row
+    next_embed: jnp.ndarray       # [B, 1, D]
+    prompt_lens: jnp.ndarray      # [B] int32 — real prompt lengths (RoPE pos)
+    in_image: jnp.ndarray         # [B] bool
+    img_count: jnp.ndarray        # [B] int32
+    ids: jnp.ndarray              # [B, max_new] int32 (pad = -1)
+    n_ids: jnp.ndarray            # [B] int32
+    img_embeds: jnp.ndarray       # [B, C, Dv] fp32
+    n_img: jnp.ndarray            # [B] int32
+    steps: jnp.ndarray            # scalar int32
+    done: jnp.ndarray             # [B] bool
+
+
+def _advance_batched(params, cfg: MetaMorphConfig, state: BatchedDecodeState,
+                     h_last: jnp.ndarray, K: int, max_new: int,
+                     stop_ids: tuple = (), do_sample: bool = False,
+                     temperature: float = 1.0, top_p: float = 1.0
+                     ) -> BatchedDecodeState:
+    """Vectorized state machine: every per-sequence scalar of `_advance`
+    becomes a [B] lane; finished rows are frozen via the `done` mask."""
+    B = h_last.shape[0]
+    b_idx = jnp.arange(B)
+    logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)   # [B, V]
+    rng, k_sample = jax.random.split(state.rng)
+    if do_sample:
+        tok = _sample_token(k_sample, logits, temperature, top_p)    # [B]
+    else:
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    pred_z = mm_lib.apply_vision_head(params, cfg, h_last)           # [B, Dv]
+    prediction = _project_pred(params, cfg, pred_z)                  # [B, D]
+    tok_embed = llama_lib.embed_tokens(params["llama"], tok)         # [B, D]
+
+    active = ~state.done
+    is_start = active & ~state.in_image & (tok == IM_START_TOKEN_ID)
+    emit_image = active & state.in_image & (state.img_count < K)
+    is_end = active & ~emit_image & ~is_start & (tok == IM_END_TOKEN_ID)
+
+    record = active & ~emit_image
+    old_ids = state.ids[b_idx, state.n_ids]
+    ids = state.ids.at[b_idx, state.n_ids].set(jnp.where(record, tok, old_ids))
+    n_ids = state.n_ids + record.astype(jnp.int32)
+
+    old_emb = state.img_embeds[b_idx, state.n_img]
+    img_embeds = state.img_embeds.at[b_idx, state.n_img].set(
+        jnp.where(emit_image[:, None], pred_z, old_emb))
+    n_img = state.n_img + emit_image.astype(jnp.int32)
+    img_count = jnp.where(emit_image, state.img_count + 1, state.img_count)
+
+    in_image = state.in_image
+    in_image = jnp.where(is_start, True, in_image)
+    in_image = jnp.where(emit_image & (img_count >= K), False, in_image)
+    in_image = jnp.where(is_end, False, in_image)
+    img_count = jnp.where(is_end, 0, img_count)  # reference counter quirk
+
+    next_embed = jnp.where(emit_image[:, None, None], prediction[:, None],
+                           tok_embed[:, None])
+
+    steps = state.steps + 1
+    is_eos = jnp.isin(tok, jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids,
+                                       jnp.int32)) & active
+    buffer_full = n_img >= state.img_embeds.shape[1]
+    done = state.done | is_eos | (steps >= max_new) | buffer_full
+
+    return BatchedDecodeState(
+        rng=rng, cache=state.cache, cache_len=state.cache_len,
+        key_mask=state.key_mask, next_embed=next_embed,
+        prompt_lens=state.prompt_lens, in_image=in_image,
+        img_count=img_count, ids=ids, n_ids=n_ids, img_embeds=img_embeds,
+        n_img=n_img, steps=steps, done=done)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
+                                             "max_cache_len", "stop_ids",
+                                             "do_sample", "temperature", "top_p"))
+def batched_greedy_decode(
+    params: Any,
+    cfg: MetaMorphConfig,
+    prompt_embeds: jnp.ndarray,   # [B, T0, D] LEFT-padded fused prompts
+    prompt_mask: jnp.ndarray,     # [B, T0] 1 = real token
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+    stop_ids: tuple = (),
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+    sample_rng: jax.Array | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """B>1 multimodal greedy decode (serving path). Prompts must be
+    LEFT-padded (pack_sequences padding_side='left') so every row writes the
+    same cache slot each step; per-row RoPE positions continue from each
+    prompt's real length. Per-row state machine identical to `greedy_decode`.
+    Returns {"ids" [B,max_new], "n_ids" [B], "image_embeds" [B,C,Dv],
+    "n_image_tokens" [B], "steps" ()}."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    B, T0 = prompt_embeds.shape[:2]
+    S = max_cache_len or (T0 + max_new_tokens + 8)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, B, S, dtype=dtype)
+    # left-pad positions: real token i of a row gets position i
+    pos = (jnp.cumsum(prompt_mask, axis=1) - 1) * prompt_mask
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos.astype(jnp.int32),
+        prompt_mask.astype(jnp.int32), cache)
+
+    key_mask = jnp.zeros((B, S), bool).at[:, :T0].set(prompt_mask.astype(bool))
+    prompt_lens = prompt_mask.sum(axis=1).astype(jnp.int32)
+
+    state = BatchedDecodeState(
+        rng=sample_rng if sample_rng is not None else jax.random.PRNGKey(0),
+        cache=cache,
+        cache_len=jnp.int32(T0),
+        key_mask=key_mask,
+        next_embed=jnp.zeros((B, 1, D), dtype),
+        prompt_lens=prompt_lens,
+        in_image=jnp.zeros((B,), bool),
+        img_count=jnp.zeros((B,), jnp.int32),
+        ids=jnp.full((B, max_new_tokens), -1, jnp.int32),
+        n_ids=jnp.zeros((B,), jnp.int32),
+        img_embeds=jnp.zeros((B, max_images * K, Dv), jnp.float32),
+        n_img=jnp.zeros((B,), jnp.int32),
+        steps=jnp.int32(0),
+        done=jnp.zeros((B,), bool),
+    )
+    # first transition from the prefill's last (rightmost, left-pad) hidden
+    state = _advance_batched(params, cfg, state, h_all[:, -1], K,
+                             max_new_tokens, stop_ids, do_sample, temperature,
+                             top_p)
+
+    def cond(s: BatchedDecodeState):
+        return ~jnp.all(s.done)
+
+    def body(s: BatchedDecodeState):
+        # token being fed is generated token #(steps-1) -> position L + steps-1
+        p = (s.prompt_lens + s.steps - 1)[:, None]       # [B, 1] RoPE position
+        km = s.key_mask.at[:, s.cache_len].set(True)
+        h, cache = llama_lib.decode_step(
+            params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len,
+            key_mask=km)
+        s = s._replace(cache=cache, cache_len=s.cache_len + 1, key_mask=km)
+        return _advance_batched(params, cfg, s, h[:, 0], K, max_new_tokens,
+                                stop_ids, do_sample, temperature, top_p)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return {
+        "ids": state.ids,
+        "n_ids": state.n_ids,
+        "image_embeds": state.img_embeds,
+        "n_image_tokens": state.n_img,
+        "steps": state.steps,
+    }
+
+
+def generate_batched(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
+                     pixels: jnp.ndarray | None = None,
+                     max_new_tokens: int = 256, max_images: int = 4,
+                     **kw) -> Dict[str, jnp.ndarray]:
+    """Batched generate: fuse LEFT-padded prompts (pack_sequences
+    padding_side='left'), then batched KV-cache decode."""
+    if pixels is not None:
+        projected, _ = mm_lib.encode_images(params, cfg, pixels)
+        embeds = mm_lib.fuse_embeddings(params, cfg, batch, projected)
+    else:
+        embeds = llama_lib.embed_tokens(params["llama"], batch["tokens"])
+    return batched_greedy_decode(params, cfg, embeds, batch["attn_mask"],
+                                 max_new_tokens=max_new_tokens,
+                                 max_images=max_images, **kw)
+
+
 def generate(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
              pixels: jnp.ndarray | None = None, max_new_tokens: int = 256,
              max_images: int = 4) -> Dict[str, jnp.ndarray]:

@@ -123,7 +123,7 @@ def _lora_dense(layer: Params, name: str, x, cfg: LlamaConfig):
 
 
 def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
-                cache_kv=None, cache_idx=None):
+                cache_kv=None, cache_idx=None, key_mask=None):
     """Self-attention for one layer. Returns (out, (k,v)) — k/v for cache writes."""
     B, T, D = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -141,7 +141,11 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
         S = ck.shape[1]
         key_pos = jnp.arange(S)[None, None, None, :]
         dec_mask = key_pos <= (cache_idx + T - 1)  # [1,1,1,S]
-        out = dot_product_attention(q, ck, cv, mask=jnp.broadcast_to(dec_mask, (B, 1, T, S)))
+        dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
+        if key_mask is not None:
+            # left-padded batched prompts: pad slots are invalid keys
+            dec_mask = jnp.logical_and(dec_mask, key_mask[:, None, None, :])
+        out = dot_product_attention(q, ck, cv, mask=dec_mask)
         new_kv = (ck, cv)
     else:
         out = attention(q, k, v, mask=mask, impl=attn_impl)
@@ -158,11 +162,11 @@ def _mlp_block(layer: Params, x, cfg: LlamaConfig):
 
 
 def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, mask,
-                   cache_kv=None, cache_idx=None):
+                   cache_kv=None, cache_idx=None, key_mask=None):
     attn_p, mlp_p = layer_params["attn"], layer_params["mlp"]
     h = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
     attn_out, new_kv = _attn_block(attn_p, cfg, h, cos, sin, mask, attn_impl,
-                                   cache_kv, cache_idx)
+                                   cache_kv, cache_idx, key_mask)
     x = x + attn_out
     h = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
     x = x + _mlp_block(mlp_p, h, cfg)
@@ -259,9 +263,10 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, positions, attn_mask,
 
 
 def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
-                cache, cache_idx: jnp.ndarray):
+                cache, cache_idx: jnp.ndarray, key_mask=None):
     """One-token step. x: [B, 1, D]; pos: [B, 1]; cache_idx: scalar int
-    (number of tokens already in cache). Returns (hidden [B,1,D], cache)."""
+    (number of tokens already in cache). key_mask [B, S] marks valid cache
+    slots (left-padded batched prompts). Returns (hidden [B,1,D], cache)."""
     cos, sin = rope_tables(cfg, pos)
 
     def body(carry, inputs):
@@ -269,7 +274,7 @@ def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
         layer_params, ck, cv = inputs
         out, (nk, nv) = _decoder_layer(
             cfg, "xla", x, layer_params, cos, sin, None,
-            cache_kv=(ck, cv), cache_idx=cache_idx)
+            cache_kv=(ck, cv), cache_idx=cache_idx, key_mask=key_mask)
         return out, (nk, nv)
 
     x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))

@@ -152,3 +152,74 @@ def test_sampling_decode(params):
                          sample_rng=jax.random.PRNGKey(2))
     assert int(hot1["n_ids"]) > 0
     assert not np.array_equal(np.asarray(hot1["ids"]), np.asarray(hot2["ids"]))
+
+
+def test_batched_decode_matches_per_row(params):
+    """batched_greedy_decode over left-padded prompts of unequal lengths ==
+    per-row greedy_decode (ids, counts, image buffers)."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+
+    rng = np.random.default_rng(5)
+    lens = [3, 6, 4]
+    B, T0 = len(lens), max(lens)
+    max_new = 8
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32) for n in lens]
+
+    # per-row references (unpadded, B=1 path)
+    refs = [greedy_decode(params, CFG, L.embed_tokens(params["llama"], r),
+                          max_new_tokens=max_new, max_images=1) for r in rows]
+
+    # left-padded batch
+    embeds = jnp.zeros((B, T0, CFG.llama.hidden_size),
+                       L.embed_tokens(params["llama"], rows[0]).dtype)
+    mask = np.zeros((B, T0), np.int32)
+    for b, (r, n) in enumerate(zip(rows, lens)):
+        e = L.embed_tokens(params["llama"], r)[0]
+        embeds = embeds.at[b, T0 - n:].set(e)
+        mask[b, T0 - n:] = 1
+    out = batched_greedy_decode(params, CFG, embeds, jnp.asarray(mask),
+                                max_new_tokens=max_new, max_images=1)
+
+    for b, ref in enumerate(refs):
+        n_ref = int(ref["n_ids"])
+        n_got = int(out["n_ids"][b])
+        assert n_got == n_ref, (b, n_got, n_ref)
+        np.testing.assert_array_equal(np.asarray(out["ids"][b][:n_got]),
+                                      np.asarray(ref["ids"][:n_ref]))
+        assert int(out["n_image_tokens"][b]) == int(ref["n_image_tokens"])
+        n_img = int(ref["n_image_tokens"])
+        if n_img:
+            np.testing.assert_allclose(
+                np.asarray(out["image_embeds"][b][:n_img]),
+                np.asarray(ref["image_embeds"][:n_img]), rtol=1e-4, atol=1e-4)
+
+
+def test_batched_decode_forced_image_mode(params):
+    """Batched path reproduces the enter-emit-exit image state machine."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, IM_START_TOKEN_ID] = 10.0
+    kernel[:, LLAMA3_EOS_IDS[0]] = -10.0
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    rng = np.random.default_rng(6)
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32)
+            for n in (4, 2)]
+    refs = [greedy_decode(p, CFG, L.embed_tokens(p["llama"], r),
+                          max_new_tokens=10, max_images=2) for r in rows]
+    T0 = 4
+    embeds = jnp.zeros((2, T0, D), jnp.float32)
+    mask = np.zeros((2, T0), np.int32)
+    for b, (r, n) in enumerate(zip(rows, (4, 2))):
+        embeds = embeds.at[b, T0 - n:].set(L.embed_tokens(p["llama"], r)[0])
+        mask[b, T0 - n:] = 1
+    out = batched_greedy_decode(p, CFG, embeds, jnp.asarray(mask),
+                                max_new_tokens=10, max_images=2)
+    for b, ref in enumerate(refs):
+        assert int(out["n_image_tokens"][b]) == int(ref["n_image_tokens"])
+        n = int(ref["n_ids"])
+        np.testing.assert_array_equal(np.asarray(out["ids"][b][:n]),
+                                      np.asarray(ref["ids"][:n]))
