@@ -466,14 +466,16 @@ def flash_attention(
     v: jnp.ndarray,
     attn_mask: Optional[jnp.ndarray] = None,  # [B, S] right-padded validity
     causal: bool = True,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     block_q_bwd: int = 512,
     block_k_bwd: int = 1024,
     scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Model-layout wrapper. Returns [B, T, H, Dh]. Default block sizes tuned
-    on v5e at T=2048 (fwd 1.4x, fwd+bwd 2x faster than the XLA path)."""
+    on v5e at the 8B attention shapes (T=4096, H=32, KV=8, Dh=128): fwd+bwd
+    9.3 ms vs 34.7 ms for the XLA path (3.7x); 1024-blocks beat 512 by ~10%
+    and also hold at T=2048 (blocks are min()-clamped to T)."""
     B, T, H, Dh = q.shape
     S = k.shape[1]
     if attn_mask is None:
