@@ -48,6 +48,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mm_pack.argtypes = [i32p, i32p, i32p,
                             ctypes.c_int, ctypes.c_int, ctypes.c_int,
                             ctypes.c_int, ctypes.c_int,
+                            i32p, ctypes.c_int, ctypes.c_int,
                             i32p, i32p, i32p, i32p, i32p, u8p, i32p,
                             i32p, i32p, i32p, f32p, f32p]
     lib.jsonl_index.restype = ctypes.c_long
@@ -72,13 +73,21 @@ def pack_sequences_native(
     max_seq_len: int,
     num_image_slots: int,
     padding_side: str = "right",
+    tokens_per_image: Optional[Sequence[int]] = None,
+    gather_capacity: Optional[int] = None,
 ) -> PackedBatch:
     lib = _load()
     if lib is None:
         raise RuntimeError("native packer unavailable (no compiler?)")
 
     B, K, T, N = len(input_ids), num_image_tokens, max_seq_len, num_image_slots
-    A = N * K
+    if tokens_per_image is not None:
+        tpi = np.asarray(tokens_per_image, np.int32)
+        A = gather_capacity if gather_capacity is not None else int(tpi.sum())
+        tpi_ptr, n_tpi = _ptr(tpi, ctypes.c_int32), len(tpi)
+    else:
+        A = N * K
+        tpi_ptr, n_tpi = None, 0
     flat_ids = np.asarray([t for row in input_ids for t in row], np.int32)
     if labels is None:
         flat_labs = np.full_like(flat_ids, IGNORE_INDEX)
@@ -104,6 +113,7 @@ def pack_sequences_native(
         _ptr(flat_ids, ctypes.c_int32), _ptr(flat_labs, ctypes.c_int32),
         _ptr(row_lens, ctypes.c_int32), B, K, T, N,
         1 if padding_side == "left" else 0,
+        tpi_ptr, n_tpi, A,
         _ptr(tokens, ctypes.c_int32), _ptr(labels_out, ctypes.c_int32),
         _ptr(attn, ctypes.c_int32), _ptr(pos, ctypes.c_int32),
         _ptr(gather, ctypes.c_int32), _ptr(is_img, ctypes.c_uint8),
@@ -111,7 +121,9 @@ def pack_sequences_native(
         _ptr(ar_p, ctypes.c_int32), _ptr(ar_t, ctypes.c_int32),
         _ptr(ar_v, ctypes.c_float), _ptr(slot_used, ctypes.c_float))
     if rc != 0:
-        raise ValueError(f"native packer error {rc} (image slots exceed budget {N})")
+        raise ValueError(
+            f"native packer error {rc} (-1/-2: image slots exceed budget {N}; "
+            f"-3: more images than tokens_per_image entries)")
 
     return PackedBatch(
         tokens=tokens, labels=labels_out, attn_mask=attn, position_ids=pos,

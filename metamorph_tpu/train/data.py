@@ -502,7 +502,15 @@ class PackedCollator:
         view_map, tokens_per_image = build_batch_plan(
             sizes, n_views, list(self.grid_pinpoints), S, P,
             self.merge_type, tc)
-        packed = pack_sequences(
+        try:
+            from metamorph_tpu.multimodal.native import (native_available,
+                                                         pack_sequences_native)
+
+            packer = (pack_sequences_native if native_available()
+                      else pack_sequences)
+        except Exception:
+            packer = pack_sequences
+        packed = packer(
             [inst["input_ids"] for inst in instances],
             [inst["labels"] for inst in instances],
             self.num_image_tokens, self.max_seq_len, self.num_image_slots,

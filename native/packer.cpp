@@ -34,14 +34,28 @@ extern "C" {
 
 // Packs B variable-length rows (concatenated ids/labels with row_lens) into
 // fixed [B,T] planes. Returns 0 on success, <0 on error:
-//   -1 slot overflow mid-row, -2 total slots exceed budget.
+//   -1 slot overflow mid-row, -2 total slots exceed budget,
+//   -3 image count exceeds tokens_per_image entries.
+//
+// tokens_per_image (nullable, n_tpi entries): per-slot variable token counts
+// (anyres); slot base offsets in the flat image-token table become cumulative
+// sums and the table capacity is gather_capacity. Uniform mode when null.
 int mm_pack(const int32_t* ids, const int32_t* labels, const int32_t* row_lens,
             int B, int K, int T, int N, int left_pad,
+            const int32_t* tokens_per_image, int n_tpi, int gather_capacity,
             int32_t* tokens, int32_t* labels_out, int32_t* attn, int32_t* pos,
             int32_t* gather, uint8_t* is_img, int32_t* ar_mask,
             int32_t* ar_b, int32_t* ar_p, int32_t* ar_t, float* ar_v,
             float* slot_used) {
-  const int A = N * K;
+  std::vector<int32_t> offsets;
+  if (tokens_per_image) {
+    offsets.resize(n_tpi + 1);
+    offsets[0] = 0;
+    for (int i = 0; i < n_tpi; ++i) offsets[i + 1] = offsets[i] + tokens_per_image[i];
+  }
+  const int A = tokens_per_image
+                    ? (gather_capacity > 0 ? gather_capacity : offsets[n_tpi])
+                    : N * K;
   // zero/default-fill outputs
   for (int i = 0; i < B * T; ++i) {
     tokens[i] = 0;
@@ -94,12 +108,17 @@ int mm_pack(const int32_t* ids, const int32_t* labels, const int32_t* row_lens,
           // answer image iff the label right before the sentinel is <image_start>
           const bool has_chunk = end - (prev + 1) > 0;
           const bool answer = has_chunk && row_labs[end - 1] == kImStartId;
-          if (static_cast<int>(seq.size()) + K > T) {
+          int Ki = K;
+          if (tokens_per_image) {
+            if (cur_image_idx >= n_tpi) return -3;
+            Ki = tokens_per_image[cur_image_idx];
+          }
+          if (static_cast<int>(seq.size()) + Ki > T) {
             need_to_stop = true;
           } else {
             const int slot = cur_image_idx;
             if (slot >= N) return -1;
-            for (int j = 0; j < K; ++j)
+            for (int j = 0; j < Ki; ++j)
               seq.push_back({0, kIgnoreIndex, slot, j, answer});
           }
           ++cur_image_idx;
@@ -119,14 +138,16 @@ int mm_pack(const int32_t* ids, const int32_t* labels, const int32_t* row_lens,
       pos[idx] = s;
       if (ev.img >= 0) {
         is_img[idx] = 1;
-        gather[idx] = ev.img * K + ev.j;
+        const int32_t base =
+            tokens_per_image ? offsets[ev.img] : ev.img * K;
+        gather[idx] = base + ev.j;
         slot_used[ev.img] = 1.f;
         if (ev.answer) {
           ar_mask[idx] = 1;
           if (s > 0 && n_ar < A) {
             ar_b[n_ar] = b;
             ar_p[n_ar] = t - 1;
-            ar_t[n_ar] = ev.img * K + ev.j;
+            ar_t[n_ar] = base + ev.j;
             ar_v[n_ar] = 1.f;
             ++n_ar;
           }

@@ -87,3 +87,36 @@ def test_jsonl_index(tmp_path):
     path2 = tmp_path / "y.jsonl"
     path2.write_text("\n".join(rows))
     assert len(native.jsonl_index_native(str(path2))) == 20
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("side", ["right", "left"])
+def test_fuzz_equivalence_variable_tokens(seed, side):
+    """Anyres mode: per-slot variable token counts through both packers."""
+    rng = random.Random(100 + seed)
+    T = rng.choice([32, 48, 64])
+    B = rng.randint(1, 4)
+    ids, labs, n_slots = random_batch(rng, B, 0, T)
+    N = n_slots
+    tpi = [rng.randint(1, 9) for _ in range(n_slots)]
+    cap = sum(tpi) + rng.randint(0, 5)
+    py = pack_sequences(ids, labs, 4, T, N,
+                        padding_side=side, tokens_per_image=tpi,
+                        gather_capacity=cap)
+    cc = native.pack_sequences_native(ids, labs, 4, T, N,
+                                      padding_side=side, tokens_per_image=tpi,
+                                      gather_capacity=cap)
+    for f in dataclasses.fields(PackedBatch):
+        a, b = getattr(py, f.name), getattr(cc, f.name)
+        if a is None and b is None:
+            continue
+        np.testing.assert_array_equal(a, b, err_msg=f"{f.name} seed={seed}")
+    # gather indices must lie within capacity (+dummy) when images are real
+    assert py.img_gather_idx.max() <= cap
+
+
+def test_native_variable_tokens_count_mismatch():
+    with pytest.raises(ValueError, match="-3"):
+        native.pack_sequences_native(
+            [[1, IMAGE_TOKEN_INDEX, 2, IMAGE_TOKEN_INDEX, 3]], None, 4, 16, 2,
+            tokens_per_image=[3], gather_capacity=3)
