@@ -207,12 +207,39 @@ def pack_sequences(
     )
 
 
+def shift_packed_shard(packed: PackedBatch, slot_base: int, K: int,
+                       global_slots: int) -> PackedBatch:
+    """Re-base a per-host packed shard's image gather indices to the global
+    table.
+
+    Per-host data loading (multi-host pods): each process packs only its
+    local batch rows against a local slot budget N_local; this shifts its
+    gather indices by `slot_base` slots so they index the GLOBAL flat
+    image-token table [global_slots*K (+dummy)] formed by the process-sharded
+    pixel stack. The dummy index moves from N_local*K to global_slots*K.
+    The host-side AR-plan vectors (ar_*) keep their local numbering — the
+    device forward consumes only image_ar_mask + img_gather_idx."""
+    A_global = global_slots * K
+    base = slot_base * K
+    gather = np.where(packed.is_image, packed.img_gather_idx + base, A_global)
+    import dataclasses as _dc
+
+    return _dc.replace(packed, img_gather_idx=gather.astype(np.int32))
+
+
+# host-side-only fields: the AR gather plan is superseded by the mask-based
+# AR loss (the [B,T] image_ar_mask + img_gather_idx); kept on PackedBatch for
+# packer tests and the trainer's K detection, but never shipped to the device
+_HOST_ONLY_FIELDS = ("ar_batch_idx", "ar_pred_pos", "ar_target_idx", "ar_valid",
+                     "image_slot_used")
+
+
 def batch_to_arrays(batch: PackedBatch) -> dict:
     """Dict of arrays for feeding the jitted step (pytree-friendly; absent
-    optional fields are dropped so every leaf is an array)."""
+    optional fields and host-side-only plan vectors are dropped)."""
     out = {}
     for f in dataclasses.fields(PackedBatch):
         v = getattr(batch, f.name)
-        if v is not None:
+        if v is not None and f.name not in _HOST_ONLY_FIELDS:
             out[f.name] = v
     return out

@@ -530,11 +530,13 @@ class PackedCollator:
         return packed, pixels
 
     def __call__(self, instances: Sequence[Dict[str, Any]],
-                 num_image_tokens: Optional[int] = None
+                 num_image_tokens: Optional[int] = None,
+                 num_image_slots: Optional[int] = None
                  ) -> Tuple[PackedBatch, np.ndarray]:
         if self.image_aspect_ratio == "anyres":
             return self._collate_anyres(instances)
         K = num_image_tokens or self.num_image_tokens
+        N = num_image_slots or self.num_image_slots
         ids = [inst["input_ids"] for inst in instances]
         labels = [inst["labels"] for inst in instances]
         try:
@@ -545,15 +547,14 @@ class PackedCollator:
                       else pack_sequences)
         except Exception:
             packer = pack_sequences
-        packed = packer(ids, labels, K,
-                        self.max_seq_len, self.num_image_slots)
+        packed = packer(ids, labels, K, self.max_seq_len, N)
         pixel_list = []
         for inst in instances:
             if inst["pixels"] is not None:
                 pixel_list.extend(inst["pixels"])
         S = self.image_size
-        pixels = np.zeros((self.num_image_slots, S, S, 3), np.float32)
-        for j, px in enumerate(pixel_list[: self.num_image_slots]):
+        pixels = np.zeros((N, S, S, 3), np.float32)
+        for j, px in enumerate(pixel_list[:N]):
             pixels[j] = px
         return packed, pixels
 
@@ -583,11 +584,18 @@ def modality_length_grouped_indices(lengths: Sequence[int], batch_size: int,
 
 class DataIterator:
     """Deterministic, resumable epoch iterator (checkpoint stores (epoch, step)
-    and resume fast-forwards — SURVEY.md §5.3)."""
+    and resume fast-forwards — SURVEY.md §5.3).
+
+    Multi-host pods: with `process_count > 1` each host loads/packs ONLY its
+    slice of every global batch (per-host data loading, SURVEY §2.2) against a
+    local image-slot budget, then re-bases the gather indices so they address
+    the global image-token table (`shift_packed_shard`). All hosts share the
+    same deterministic order, so shards are disjoint and cover the batch."""
 
     def __init__(self, dataset: LazySupervisedDataset, collator: PackedCollator,
                  batch_size: int, seed: int = 42, group_by_modality: bool = False,
-                 token_buckets: Sequence[int] = (), accum_steps: int = 1):
+                 token_buckets: Sequence[int] = (), accum_steps: int = 1,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -597,8 +605,23 @@ class DataIterator:
         # all microbatches inside one optimizer step must share a token bucket
         # (the trainer stacks them; mixed K would change the packed shapes)
         self.accum_steps = max(int(accum_steps), 1)
+        self.process_index = process_index
+        self.process_count = max(int(process_count), 1)
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError("batch_size must divide by process_count")
+            if collator.num_image_slots % self.process_count:
+                raise ValueError("num_image_slots must divide by process_count")
+            if collator.image_aspect_ratio == "anyres":
+                raise NotImplementedError(
+                    "per-host sharded loading + anyres not supported yet; "
+                    "run anyres with replicated loading (process_count=1)")
         self.epoch = 0
         self.step_in_epoch = 0
+
+    @property
+    def process_sharded(self) -> bool:
+        return self.process_count > 1
 
     def _bucket_for(self, epoch: int, batch_idx: int) -> Optional[int]:
         """Deterministic per-optimizer-step token-count choice (stable across
@@ -632,14 +655,30 @@ class DataIterator:
         self.seed = state.get("seed", self.seed)
 
     def __iter__(self):
+        from metamorph_tpu.multimodal.packing import shift_packed_shard
+
+        P = self.process_count
+        B_local = self.batch_size // P
+        N_global = self.collator.num_image_slots
+        N_local = N_global // P
         while True:
             order = self._order()
             n_batches = len(order) // self.batch_size
             for b in range(self.step_in_epoch, n_batches):
                 self.step_in_epoch = b + 1
-                rows = [self.dataset[order[b * self.batch_size + k]]
-                        for k in range(self.batch_size)]
-                yield self.collator(
-                    rows, num_image_tokens=self._bucket_for(self.epoch, b))
+                K = self._bucket_for(self.epoch, b)
+                if P == 1:
+                    rows = [self.dataset[order[b * self.batch_size + k]]
+                            for k in range(self.batch_size)]
+                    yield self.collator(rows, num_image_tokens=K)
+                else:
+                    lo = b * self.batch_size + self.process_index * B_local
+                    rows = [self.dataset[order[lo + k]] for k in range(B_local)]
+                    packed, pixels = self.collator(
+                        rows, num_image_tokens=K, num_image_slots=N_local)
+                    packed = shift_packed_shard(
+                        packed, self.process_index * N_local,
+                        K or self.collator.num_image_tokens, N_global)
+                    yield packed, pixels
             self.epoch += 1
             self.step_in_epoch = 0

@@ -49,6 +49,12 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = MetaMorphConfig.from_json(f.read())
 
+    import jax
+
+    if args.multihost:
+        jax.distributed.initialize()  # before the iterator: per-host loading
+    p_idx, p_cnt = jax.process_index(), jax.process_count()
+
     from transformers import AutoTokenizer
 
     from metamorph_tpu.constants import (DEFAULT_IM_END_TOKEN,
@@ -66,6 +72,7 @@ def main(argv=None):
         image_size=cfg.siglip.image_size,
         mm_use_im_start_end=cfg.mm.mm_use_im_start_end,
         model_max_length=cfg.train.max_seq_len,
+        grid_pinpoints=cfg.mm.image_grid_pinpoints,
     )
     dataset = LazySupervisedDataset(
         args.data_path, lambda s: tok(s).input_ids, data_cfg,
@@ -74,11 +81,18 @@ def main(argv=None):
         num_image_tokens=cfg.mm.num_image_tokens,
         max_seq_len=cfg.train.max_seq_len,
         num_image_slots=cfg.train.max_images_per_batch,
-        image_size=cfg.siglip.image_size)
+        image_size=cfg.siglip.image_size,
+        image_aspect_ratio=args.image_aspect_ratio,
+        grid_pinpoints=cfg.mm.image_grid_pinpoints,
+        merge_type=cfg.mm.mm_patch_merge_type,
+        patch_size=cfg.siglip.patch_size)
     data_iter = DataIterator(dataset, collator, cfg.train.batch_size,
                              seed=cfg.train.seed,
                              group_by_modality=args.group_by_modality_length,
-                             accum_steps=cfg.train.grad_accum_steps)
+                             accum_steps=cfg.train.grad_accum_steps,
+                             process_index=p_idx,
+                             process_count=(p_cnt if args.image_aspect_ratio
+                                            != "anyres" else 1))
 
     trainer_args = TrainerArgs(
         output_dir=args.output_dir,

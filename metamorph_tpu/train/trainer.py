@@ -71,8 +71,11 @@ def build_params(cfg: MetaMorphConfig, args: TrainerArgs, seed: int = 0):
 def train(cfg: MetaMorphConfig, args: TrainerArgs,
           data_iter: Iterable, multihost: bool = False) -> Dict[str, Any]:
     """data_iter yields (PackedBatch | dict-of-arrays, pixels [N,S,S,3])."""
-    if multihost:
-        jax.distributed.initialize()  # torchrun/c10d rendezvous equivalent
+    if multihost and jax.process_count() == 1:
+        # torchrun/c10d rendezvous equivalent (no-op when the caller — e.g.
+        # train/main.py, which needs process info for per-host data loading —
+        # already initialized the distributed runtime)
+        jax.distributed.initialize()
 
     mesh = build_mesh(cfg.mesh)
     rank0_print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
@@ -193,8 +196,18 @@ def train(cfg: MetaMorphConfig, args: TrainerArgs,
                 batch, pixels = micro[0]
                 bs = batch_sh_fn(batch)
                 px_sh = pixels_sharding(mesh, pixels.shape[0])
-            batch = {k: jax.device_put(np.asarray(v), bs[k]) for k, v in batch.items()}
-            pixels = jax.device_put(pixels, px_sh)
+            if (getattr(data_iter, "process_sharded", False)
+                    and jax.process_count() > 1):
+                # per-host loading: each process contributes its local slice
+                # of the globally-sharded batch/pixel arrays
+                def put(v, sh):
+                    return jax.make_array_from_process_local_data(
+                        sh, np.asarray(v))
+            else:
+                def put(v, sh):
+                    return jax.device_put(np.asarray(v), sh)
+            batch = {k: put(v, bs[k]) for k, v in batch.items()}
+            pixels = put(pixels, px_sh)
 
             state, m = step_fn_for(K)(state, batch, pixels)
             step += 1

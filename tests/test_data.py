@@ -256,3 +256,54 @@ def test_prefetcher():
     assert next(p) == 1
     with pytest.raises(ValueError):
         next(p)
+
+
+def test_process_sharded_loading_matches_global(mixed_jsonl):
+    """Per-host data loading (multi-host pods): concatenating every process's
+    locally-packed, index-shifted shard must reproduce the globally-packed
+    batch on all device-consumed planes, and the pixel stacks concatenate to
+    the global image-slot table."""
+    from metamorph_tpu.multimodal.packing import batch_to_arrays
+
+    ds = make_ds(mixed_jsonl)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64, num_image_slots=8,
+                         image_size=28)
+    it_global = DataIterator(ds, col, batch_size=4, seed=0)
+    g_packed, g_pixels = next(iter(it_global))
+    g = batch_to_arrays(g_packed)
+
+    shards = []
+    for p in range(2):
+        it_p = DataIterator(ds, col, batch_size=4, seed=0,
+                            process_index=p, process_count=2)
+        shards.append(next(iter(it_p)))
+    l = [batch_to_arrays(s[0]) for s in shards]
+    cat = {k: np.concatenate([x[k] for x in l], axis=0) for k in l[0]}
+    for k in g:
+        if k == "img_gather_idx":
+            continue  # slot numbering differs; content compared below
+        np.testing.assert_array_equal(cat[k], g[k], err_msg=k)
+    # slot numbering differs between global and sharded packing, but the
+    # CONTENT each gather index resolves to (its image's pixels) must match
+    cat_pixels = np.concatenate([s[1] for s in shards], axis=0)
+    K = 4
+    for b, t in zip(*np.where(g["is_image"])):
+        gi, ci = g["img_gather_idx"][b, t], cat["img_gather_idx"][b, t]
+        np.testing.assert_array_equal(cat_pixels[ci // K], g_pixels[gi // K])
+        assert gi % K == ci % K  # same token index within the image
+
+
+def test_process_sharded_rejects_bad_config(mixed_jsonl):
+    ds = make_ds(mixed_jsonl)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64, num_image_slots=8,
+                         image_size=28)
+    with pytest.raises(ValueError, match="divide"):
+        DataIterator(ds, col, batch_size=5, seed=0, process_index=0,
+                     process_count=2)
+    col_any = PackedCollator(num_image_tokens=4, max_seq_len=64,
+                             num_image_slots=8, image_size=28,
+                             image_aspect_ratio="anyres",
+                             grid_pinpoints=[(28, 56)])
+    with pytest.raises(NotImplementedError):
+        DataIterator(ds, col_any, batch_size=4, seed=0, process_index=0,
+                     process_count=2)
