@@ -242,6 +242,73 @@ def bench_encode(cfg, size):
     }))
 
 
+def bench_8b_slice(cfg, size):
+    """Direct 8B-geometry evidence on a small chip: the TRUE 8B layer shapes
+    (D=4096, F=14336, H=32/KV=8, Dh=128, V=128258, T=4096) with num_layers=4
+    so params+grads fit 16GB; measures fused-forward+backward (no optimizer —
+    the Adam update is a small memory-bound tail) and reports per-layer-slice
+    MFU. This pins the MFU term of the 8B projection to measured 8B matmul
+    shapes instead of extrapolating from a smaller geometry."""
+    import dataclasses as _dc
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.config import LlamaConfig, TrainConfig as TC
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+    from metamorph_tpu.train.train_step import loss_fn
+
+    L = int(os.environ.get("BENCH_SLICE_LAYERS", 4))
+    B, T = int(os.environ.get("BENCH_BATCH", 1)), 4096
+    llama = LlamaConfig(num_layers=L)  # all other dims = 8B defaults
+    cfg = _dc.replace(cfg, llama=llama,
+                      train=TC(max_seq_len=T, batch_size=B,
+                               max_images_per_batch=2 * B, remat=True))
+    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    log(f"8b-slice: layers={L} B={B} T={T} params={n_params/1e9:.2f}B")
+    batch, pixels = build_batch(cfg)
+
+    # reduce grads to one scalar INSIDE the jit and float() it: through the
+    # remote-TPU tunnel, block_until_ready on a large pytree does not reliably
+    # fence execution — a host scalar fetch does
+    @jax.jit
+    def grad_fn(p, b, px):
+        g = jax.grad(lambda p: loss_fn(p, cfg, b, px, "flash")[0])(p)
+        return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(g))
+
+    def run():
+        return float(grad_fn(params, batch, pixels))
+
+    t0 = time.time(); run(); log(f"compile: {time.time()-t0:.1f}s")
+    run()
+    n_steps = int(os.environ.get("BENCH_STEPS", 5))
+    t0 = time.time()
+    for _ in range(n_steps):
+        run()
+    dt = (time.time() - t0) / n_steps
+    flops = train_step_flops(cfg, 2 * B)
+    peak = chip_peak_tflops()
+    mfu = flops / dt / (peak * 1e12) if peak else None
+    # convert to full-32-layer 8B tokens/sec at this measured MFU
+    cfg8 = _dc.replace(cfg, llama=LlamaConfig(),
+                       train=TC(max_seq_len=4096, batch_size=8))
+    f8_per_tok = train_step_flops(cfg8, 16) / (8 * 4096)
+    v5p = PEAK_BF16_TFLOPS["TPU v5p"]
+    print(json.dumps({
+        "metric": (f"8B-geometry {L}-layer slice fwd+bwd MFU (D=4096 F=14336 "
+                   f"H=32/KV=8 T=4096, full 128k vocab head); vs_baseline = "
+                   f"full-8B-on-v5p projection at this MFU"),
+        "value": round(mfu, 4) if mfu else None,
+        "unit": "MFU",
+        "vs_baseline": round(mfu * v5p * 1e12 / f8_per_tok / 3000.0, 3) if mfu else None,
+        "tok_s_chip_this_chip": round(B * T / dt, 1),
+        "slice_tflops_per_step": round(flops / 1e12, 2),
+        "projected_8b_v5p_tok_s_chip": round(mfu * v5p * 1e12 / f8_per_tok, 1) if mfu else None,
+    }))
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: repeated bench runs (and the driver's)
     skip the remote-compile round trip, which can be minutes when cold."""
@@ -273,6 +340,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "encode":
         bench_encode(cfg, size)
+        return
+    if os.environ.get("BENCH_MODE") == "8b_slice":
+        bench_8b_slice(cfg, size)
         return
     n_chips = len(jax.devices())
     log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "
