@@ -96,6 +96,88 @@ class Conversation:
     def append_message(self, role: str, message: Optional[str]):
         self.messages.append([role, message])
 
+    def process_image(self, image, image_process_mode: str,
+                      return_pil: bool = False, image_format: str = "PNG",
+                      max_len: int = 1344, min_len: int = 672):
+        """Serving-UI image prep (`conversation.py:129-166`): Pad (expand to
+        square on the (122,116,104) background) / Default / Crop (no-op) /
+        Resize (336x336), then a max-edge cap, returned as a numpy array or a
+        base64-encoded string. Accepts numpy HxWx3 or PIL."""
+        import base64
+        import io
+
+        import numpy as np
+
+        from metamorph_tpu.multimodal.mm_utils import (_to_array, expand2square,
+                                                       resize_bilinear)
+
+        arr = _to_array(image)
+        if image_process_mode == "Pad":
+            arr = expand2square(arr, (122, 116, 104))
+        elif image_process_mode in ("Default", "Crop"):
+            pass
+        elif image_process_mode == "Resize":
+            arr = resize_bilinear(arr, (336, 336)).astype(np.uint8)
+        else:
+            raise ValueError(f"Invalid image_process_mode: {image_process_mode}")
+        h, w = arr.shape[:2]
+        if max(h, w) > max_len:
+            aspect = max(h, w) / min(h, w)
+            short = int(min(max_len / aspect, min_len, min(h, w)))
+            long_ = int(short * aspect)
+            nh, nw = (long_, short) if h > w else (short, long_)
+            arr = resize_bilinear(arr, (nh, nw)).astype(np.uint8)
+        if return_pil:
+            return arr
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype(np.uint8)).save(buf, format=image_format)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def get_images(self, return_pil: bool = False) -> List:
+        """Images attached to user turns, processed (`conversation.py:169-176`)."""
+        images = []
+        for i, (role, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0 and isinstance(msg, tuple):
+                _, image, mode = msg
+                images.append(self.process_image(image, mode,
+                                                 return_pil=return_pil))
+        return images
+
+    def to_gradio_chatbot(self) -> List:
+        """[user, assistant] message pairs with inline base64 JPEG image tags
+        (`conversation.py:179-194`)."""
+        ret: List = []
+        for i, (role, msg) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0:
+                if isinstance(msg, tuple):
+                    text, image, _ = msg
+                    b64 = self.process_image(image, "Default",
+                                             return_pil=False,
+                                             image_format="JPEG")
+                    tag = (f'<img src="data:image/jpeg;base64,{b64}" '
+                           f'alt="user upload image" />')
+                    ret.append([tag + text.replace("<image>", "").strip(), None])
+                else:
+                    ret.append([msg, None])
+            else:
+                ret[-1][-1] = msg
+        return ret
+
+    def dict(self) -> dict:
+        """Serializable state (`conversation.py:208-225`); image payloads are
+        reduced to their text."""
+        return {
+            "system": self.system,
+            "roles": self.roles,
+            "messages": [[r, (m[0] if isinstance(m, tuple) else m)]
+                         for r, m in self.messages],
+            "offset": self.offset,
+            "sep": self.sep,
+            "sep2": self.sep2,
+        }
+
     def copy(self) -> "Conversation":
         return Conversation(
             system=self.system, roles=self.roles,

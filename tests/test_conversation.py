@@ -87,3 +87,36 @@ def test_registry_covers_masking_templates():
     l2.append_message(l2.roles[1], "a")
     out = l2.get_prompt()
     assert "[INST] q [/INST]" in out and out.endswith(" a </s>")
+
+
+def test_process_image_and_get_images():
+    import numpy as np
+
+    conv = conv_llama_3.copy()
+    img = np.full((20, 40, 3), 50, np.uint8)
+    conv.append_message(conv.roles[0], ("<image> what", img, "Pad"))
+    conv.append_message(conv.roles[1], "a thing")
+
+    imgs = conv.get_images(return_pil=True)
+    assert len(imgs) == 1
+    assert imgs[0].shape == (40, 40, 3)  # padded square
+    # padding rows carry the reference background color
+    assert tuple(imgs[0][0, 0]) == (122, 116, 104)
+
+    b64 = conv.get_images(return_pil=False)[0]
+    assert isinstance(b64, str) and len(b64) > 10
+
+    resized = conv.process_image(img, "Resize", return_pil=True)
+    assert resized.shape == (336, 336, 3)
+
+    big = np.zeros((2800, 1400, 3), np.uint8)
+    capped = conv.process_image(big, "Default", return_pil=True)
+    assert max(capped.shape[:2]) <= 1344
+
+    chat = conv.to_gradio_chatbot()
+    assert len(chat) == 1
+    assert chat[0][0].startswith('<img src="data:image/jpeg;base64,')
+    assert chat[0][1] == "a thing"
+
+    d = conv.dict()
+    assert d["messages"][0][1] == "<image> what"  # tuple reduced to text
