@@ -202,6 +202,18 @@ def tokenizer_image_token(prompt: str, tokenize,
     return input_ids
 
 
+def load_image_from_base64(image: str) -> np.ndarray:
+    """base64 string -> RGB numpy array (`mm_utils.py:154-155`; serving-UI
+    counterpart of `Conversation.process_image`'s b64 output)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(base64.b64decode(image)))
+                      .convert("RGB"))
+
+
 def get_model_name_from_path(model_path: str) -> str:
     model_path = model_path.strip("/")
     parts = model_path.split("/")

@@ -136,3 +136,10 @@ def profile_trace(log_dir: str):
             jax.profiler.stop_trace()
 
     return cm()
+
+
+def pretty_print_semaphore(semaphore) -> str:
+    """Debug formatting for an asyncio/threading semaphore (`utils.py:129-132`)."""
+    if semaphore is None:
+        return "None"
+    return f"Semaphore(value={semaphore._value}, locked={semaphore.locked()})"

@@ -136,3 +136,24 @@ def test_merge_anyres_features():
     # 3x1 tile grid -> 4x12 spatial map; unpad rounds to 0 rows removed here,
     # newline adds one column: 16 base + 4*(12+1)
     assert merged_unpad.shape == (16 + 4 * 13, d)
+
+
+def test_base64_roundtrip():
+    """process_image b64 output -> load_image_from_base64 round trip."""
+    from metamorph_tpu.multimodal.conversation import conv_llama_3
+    from metamorph_tpu.multimodal.mm_utils import load_image_from_base64
+
+    img = np.arange(20 * 30 * 3, dtype=np.uint8).reshape(20, 30, 3)
+    b64 = conv_llama_3.copy().process_image(img, "Default", return_pil=False)
+    back = load_image_from_base64(b64)
+    np.testing.assert_array_equal(back, img)  # PNG is lossless
+
+
+def test_pretty_print_semaphore():
+    import asyncio
+
+    from metamorph_tpu.utils.logging import pretty_print_semaphore
+
+    assert pretty_print_semaphore(None) == "None"
+    s = asyncio.Semaphore(3)  # the reference formats asyncio semaphores
+    assert "value=3" in pretty_print_semaphore(s)
