@@ -166,6 +166,10 @@ class TrainConfig:
     max_seq_len: int = 4096
     max_images_per_batch: int = 8   # static image-slot budget per global batch
     remat: bool = True              # gradient checkpointing on decoder blocks
+    # what the checkpointed block may keep: "dots_no_batch" saves matmul
+    # outputs (14% faster fwd+bwd at 8B shapes on v5e, more live memory);
+    # "nothing" recomputes the whole block (min memory); "dots" saves all dots
+    remat_policy: str = "dots_no_batch"
     # Trainable sets for the 2-stage recipe:
     #   stage1 (connector pretrain): tune_mm_mlp_adapter=True, freeze LLM
     #   stage2 (full finetune): everything except (optionally) vision tower

@@ -207,6 +207,7 @@ def llama_forward(
     attn_impl: str = "xla",
     remat: bool = False,
     return_cache: bool = False,
+    remat_policy: str = "dots_no_batch",
 ):
     """Full-sequence forward. Returns final-norm hidden states [B, T, D]
     (and per-layer stacked (k, v) when return_cache, for decode prefill)."""
@@ -220,7 +221,12 @@ def llama_forward(
         return out, (kv if return_cache else None)
 
     if remat:
-        body = jax.checkpoint(body, policy=jax.checkpoint_policies.nothing_saveable)
+        policy = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+        }[remat_policy]
+        body = jax.checkpoint(body, policy=policy)
 
     x, kvs = jax.lax.scan(body, inputs_embeds, params["layers"])
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)

@@ -210,6 +210,7 @@ def metamorph_forward(
     pixels: jnp.ndarray,
     attn_impl: str = "xla",
     remat: bool = False,
+    remat_policy: str = "dots_no_batch",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Training forward: fused multimodal sequence -> (total_loss, metrics)."""
     from jax.sharding import PartitionSpec as P
@@ -223,7 +224,7 @@ def metamorph_forward(
     hidden = llama_lib.llama_forward(
         params["llama"], cfg.llama, embeds,
         batch["position_ids"], batch["attn_mask"],
-        attn_impl=attn_impl, remat=remat)
+        attn_impl=attn_impl, remat=remat, remat_policy=remat_policy)
     hidden = constrain(hidden, P(("data", "fsdp"), None, None))
 
     # ---- text CE (shifted) — metamorph_llama.py:401-413 ----

@@ -44,7 +44,8 @@ def init_train_state(params: Any, cfg: MetaMorphConfig) -> TrainState:
 
 def loss_fn(params, cfg: MetaMorphConfig, batch, pixels, attn_impl="xla"):
     total, metrics = metamorph_forward(
-        params, cfg, batch, pixels, attn_impl=attn_impl, remat=cfg.train.remat)
+        params, cfg, batch, pixels, attn_impl=attn_impl, remat=cfg.train.remat,
+        remat_policy=cfg.train.remat_policy)
     return total, metrics
 
 
