@@ -132,7 +132,8 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
                                              "max_cache_len", "stop_ids",
-                                             "do_sample", "temperature", "top_p"))
+                                             "do_sample", "temperature", "top_p",
+                                             "prefill_attn_impl"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -146,6 +147,10 @@ def greedy_decode(
     temperature: float = 1.0,
     top_p: float = 1.0,
     sample_rng: jax.Array | None = None,
+    prefill_attn_impl: str = "xla",  # "flash" for long prompts: the [T0,T0]
+                                     # score matrix never materializes (the
+                                     # unpadded single row satisfies the flash
+                                     # kernel's right-padded-lengths contract)
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -160,7 +165,7 @@ def greedy_decode(
     pos = jnp.arange(T0, dtype=jnp.int32)[None]
     h_all, cache = llama_lib.prefill(
         params["llama"], cfg.llama, prompt_embeds, pos,
-        jnp.ones((1, T0), jnp.int32), cache)
+        jnp.ones((1, T0), jnp.int32), cache, attn_impl=prefill_attn_impl)
 
     state = DecodeState(
         rng=sample_rng if sample_rng is not None else jax.random.PRNGKey(0),

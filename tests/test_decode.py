@@ -223,3 +223,18 @@ def test_batched_decode_forced_image_mode(params):
         n = int(ref["n_ids"])
         np.testing.assert_array_equal(np.asarray(out["ids"][b][:n]),
                                       np.asarray(ref["ids"][:n]))
+
+
+def test_flash_prefill_matches_xla(params):
+    """greedy_decode(prefill_attn_impl='flash') produces the same generation
+    as the XLA prefill path."""
+    rng = np.random.default_rng(8)
+    prompt_ids = jnp.asarray(rng.integers(10, 1000, (1, 8)), jnp.int32)
+    prompt = L.embed_tokens(params["llama"], prompt_ids)
+    a = greedy_decode(params, CFG, prompt, max_new_tokens=6, max_images=1)
+    b = greedy_decode(params, CFG, prompt, max_new_tokens=6, max_images=1,
+                      prefill_attn_impl="flash")
+    np.testing.assert_array_equal(np.asarray(a["ids"]), np.asarray(b["ids"]))
+    np.testing.assert_allclose(np.asarray(a["image_embeds"]),
+                               np.asarray(b["image_embeds"]), rtol=2e-4,
+                               atol=2e-4)
