@@ -201,6 +201,56 @@ def bench_decode(cfg, size):
     }))
 
 
+def bench_serve(cfg, size):
+    """Continuous-batching serving throughput: mixed prompt/generation
+    lengths through an N-slot ServeEngine (new requests are admitted the
+    moment a slot frees). Reported as aggregate new tokens/sec; the static
+    batched path (batched_greedy_decode) would stall every row on the
+    batch's longest budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.inference.serve import Request, ServeEngine
+    from metamorph_tpu.models import llama as L
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+
+    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    n_slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
+    n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", 32))
+    reqs = []
+    for i in range(n_req):
+        t0 = int(rng.integers(48, 256))
+        budget = int(rng.integers(32, 128))
+        ids = jnp.asarray(rng.integers(10, 100000, (1, t0)).astype(np.int32))
+        pe = np.asarray(L.embed_tokens(params["llama"], ids)[0])
+        reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget, uid=i))
+
+    def run():
+        eng = ServeEngine(params, cfg, n_slots=n_slots, max_cache_len=512,
+                          max_new_tokens_cap=128, max_images=1,
+                          prefill_buckets=(64, 128, 256), steps_per_sync=16)
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        return sum(c.steps for c in done)
+
+    t0 = time.time()
+    total = run()
+    log(f"serve compile+run: {time.time()-t0:.1f}s total_new={total}")
+    t0 = time.time()
+    total = run()
+    dt = time.time() - t0
+    tok_s = total / dt
+    print(json.dumps({
+        "metric": (f"continuous-batching serve throughput ({size} LLM, "
+                   f"{n_slots} slots, {n_req} mixed-length requests)"),
+        "value": round(tok_s, 1),
+        "unit": "new tokens/sec",
+        "vs_baseline": round(tok_s / 10.0, 3),  # vs reference O(T^2) B=1 loop
+    }))
+
+
 def bench_encode(cfg, size):
     """Fused preprocess+encode images/sec/chip (BASELINE metric 2): uint8
     frames -> on-device resize+normalize -> SigLIP SO400M -> 64 tokens."""
@@ -343,6 +393,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "8b_slice":
         bench_8b_slice(cfg, size)
+        return
+    if os.environ.get("BENCH_MODE") == "serve":
+        bench_serve(cfg, size)
         return
     n_chips = len(jax.devices())
     log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "

@@ -179,6 +179,12 @@ class TrainConfig:
     # ZeRO-3-offload analog (`scripts/zero3_offload.json`): keep Adam moments
     # in pinned host memory; XLA streams them over PCIe per step.
     offload_optimizer: bool = False
+    # Sequence parallelism (beyond the reference, SURVEY.md §5.7 stretch):
+    # [B, T, ...] activations shard T over the fsdp axis (batch over data
+    # only) and attention runs as a ring over ICI — use attn_impl="ring" and
+    # make max_seq_len divisible by the fsdp axis. Lets one step hold
+    # sequences fsdp-times longer than a chip's HBM allows.
+    sequence_parallel: bool = False
     param_dtype: str = "bfloat16"
     compute_dtype: str = "bfloat16"
 

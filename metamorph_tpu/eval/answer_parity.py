@@ -220,6 +220,7 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
     when ref_fn is given, against a live reference run (answers + logits)."""
     n = exact = norm = 0
     cosines: List[float] = []
+    vqa_acc_sum, n_multi = 0.0, 0
     for row in rows:
         ours = our_fn(row)
         our_text = detokenize(ours["answer_ids"]) if detokenize else " ".join(
@@ -235,12 +236,23 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
         n += 1
         exact += int(our_text.strip() == ref_text.strip())
         norm += int(normalize_answer(our_text) == normalize_answer(ref_text))
+        # task-level VQAv2 accuracy when the row carries the 10 human answers:
+        # acc = min(#matching-annotators / 3, 1) (the standard VQA metric)
+        answers = row.get("answers")
+        if answers:
+            n_multi += 1
+            matches = sum(normalize_answer(a) == normalize_answer(our_text)
+                          for a in answers)
+            vqa_acc_sum += min(matches / 3.0, 1.0)
     result = {
         "metric": "vqa_answer_parity",
         "n": n,
         "exact_match": exact / max(n, 1),
         "normalized_match": norm / max(n, 1),
     }
+    if n_multi:
+        result["vqa_accuracy"] = vqa_acc_sum / n_multi
+        result["n_multi_annotator"] = n_multi
     if cosines:
         result["mean_logit_cosine"] = float(np.mean(cosines))
         result["min_logit_cosine"] = float(np.min(cosines))

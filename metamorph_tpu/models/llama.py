@@ -136,12 +136,21 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
     if cache_kv is not None:
         # decode: append to cache then attend over the full cache
         ck, cv = cache_kv  # [B, S, KV, Dh]
-        ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_idx, axis=1)
-        cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_idx, axis=1)
         S = ck.shape[1]
         key_pos = jnp.arange(S)[None, None, None, :]
-        dec_mask = key_pos <= (cache_idx + T - 1)  # [1,1,1,S]
-        dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
+        if getattr(cache_idx, "ndim", 0) == 1:
+            # ragged (continuous-batching) decode: each row has its own write
+            # position / length; rows are right-aligned from slot 0 (T == 1)
+            b_idx = jnp.arange(B)
+            ck = ck.at[b_idx, cache_idx].set(k[:, 0].astype(ck.dtype))
+            cv = cv.at[b_idx, cache_idx].set(v[:, 0].astype(cv.dtype))
+            dec_mask = key_pos <= cache_idx[:, None, None, None]  # [B,1,1,S]
+            dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
+        else:
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_idx, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_idx, axis=1)
+            dec_mask = key_pos <= (cache_idx + T - 1)  # [1,1,1,S]
+            dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
         if key_mask is not None:
             # left-padded batched prompts: pad slots are invalid keys
             dec_mask = jnp.logical_and(dec_mask, key_mask[:, None, None, :])
@@ -189,12 +198,12 @@ def embed_tokens(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
     reshard the [B,T,D] cotangent from batch- to D-sharded layouts."""
     from jax.sharding import PartitionSpec as P
 
-    from metamorph_tpu.parallel.context import constrain
+    from metamorph_tpu.parallel.context import act_spec, constrain
 
     table = constrain(params["embed"]["embedding"], P(None, None))
     out = jnp.take(table, ids, axis=0)
     if out.ndim == 3:
-        out = constrain(out, P(("data", "fsdp"), None, None))
+        out = constrain(out, act_spec(3))
     return out
 
 

@@ -158,7 +158,7 @@ def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.n
     GSPMD partitions natively (no involuntary full rematerialization)."""
     from jax.sharding import PartitionSpec as P
 
-    from metamorph_tpu.parallel.context import constrain
+    from metamorph_tpu.parallel.context import act_spec, constrain
 
     text_emb = llama_lib.embed_tokens(params["llama"], batch["tokens"])
     table = image_token_table(params, cfg, batch, projected)
@@ -167,7 +167,7 @@ def fuse_embeddings(params: Params, cfg: MetaMorphConfig, batch: Dict[str, jnp.n
         [table, jnp.zeros((1, D), table.dtype)], axis=0)
     img_flat = constrain(img_flat, P(None, None))
     gathered = jnp.take(img_flat, batch["img_gather_idx"], axis=0)  # [B,T,D]
-    gathered = constrain(gathered, P(("data", "fsdp"), None, None))
+    gathered = constrain(gathered, act_spec(3))
     return jnp.where(batch["is_image"][..., None], gathered, text_emb)
 
 
@@ -215,17 +215,17 @@ def metamorph_forward(
     """Training forward: fused multimodal sequence -> (total_loss, metrics)."""
     from jax.sharding import PartitionSpec as P
 
-    from metamorph_tpu.parallel.context import constrain
+    from metamorph_tpu.parallel.context import act_spec, constrain
 
     projected, targets = encode_images(params, cfg, pixels)
     embeds = fuse_embeddings(params, cfg, batch, projected)
-    embeds = constrain(embeds, P(("data", "fsdp"), None, None))
+    embeds = constrain(embeds, act_spec(3))
 
     hidden = llama_lib.llama_forward(
         params["llama"], cfg.llama, embeds,
         batch["position_ids"], batch["attn_mask"],
         attn_impl=attn_impl, remat=remat, remat_policy=remat_policy)
-    hidden = constrain(hidden, P(("data", "fsdp"), None, None))
+    hidden = constrain(hidden, act_spec(3))
 
     # ---- text CE (shifted) — metamorph_llama.py:401-413 ----
     # Chunked over the sequence so the fp32 [B,T,128k] logits never
@@ -254,12 +254,12 @@ def metamorph_forward(
              jnp.zeros((1, Dv), jnp.float32)], axis=0)
     tgt_flat = constrain(tgt_flat, P(None, None))
     tgt = jnp.take(tgt_flat, batch["img_gather_idx"], axis=0)        # [B,T,Dv]
-    tgt = constrain(tgt, P(("data", "fsdp"), None, None))
+    tgt = constrain(tgt, act_spec(3))
     # teacher-forced: hidden at t-1 predicts image token t (metamorph_llama.py:384-390);
     # t=0 is never an image token (bos precedes any image in a packed row)
     h_prev = jnp.pad(hidden, ((0, 0), (1, 0), (0, 0)))[:, :-1]
     pred = apply_vision_head(params, cfg, h_prev)                     # [B,T,Dv] fp32
-    pred = constrain(pred, P(("data", "fsdp"), None, None))
+    pred = constrain(pred, act_spec(3))
     w = batch["image_ar_mask"].astype(jnp.float32)                    # [B,T]
     n_ar = jnp.maximum(w.sum(), 1.0)
     if cfg.mm.apply_softmax:

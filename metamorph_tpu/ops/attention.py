@@ -68,11 +68,31 @@ def attention(
 
     impl="xla": materialized-scores path (good for short seqs / CPU tests).
     impl="flash": Pallas TPU flash-attention kernel (training shapes).
+    impl="ring": sequence-parallel ring attention — the sequence dim is
+      sharded over the registered sequence mesh axis and K/V chunks rotate
+      over ICI (`parallel/ring_attention.py`); causal only, which is exact for
+      right-padded batches (pad sits after every valid query). Falls back to
+      the flash kernel when no mesh / a trivial sequence axis is registered.
     """
     if impl == "flash":
         from metamorph_tpu.ops.flash_attention import flash_attention_sharded
 
         return flash_attention_sharded(q, k, v, attn_mask=attn_mask, causal=causal)
+    if impl == "ring":
+        from metamorph_tpu.ops.flash_attention import flash_attention
+        from metamorph_tpu.parallel.context import (get_current_mesh,
+                                                    get_sequence_axis)
+        from metamorph_tpu.parallel.ring_attention import ring_attention
+
+        mesh = get_current_mesh()
+        axis = get_sequence_axis() or "fsdp"
+        sizes = {} if mesh is None else dict(zip(mesh.axis_names,
+                                                 mesh.devices.shape))
+        if mesh is None or sizes.get(axis, 1) == 1:
+            return flash_attention(q, k, v, attn_mask=attn_mask, causal=causal)
+        batch_axis = "data" if sizes.get("data", 1) > 1 else None
+        return ring_attention(q, k, v, mesh, axis_name=axis,
+                              batch_axis=batch_axis)
     if mask is None and attn_mask is not None and causal:
         mask = make_causal_mask(attn_mask)
     return dot_product_attention(q, k, v, mask=mask)

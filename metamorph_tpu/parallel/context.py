@@ -15,6 +15,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _current_mesh: Optional[Mesh] = None
+_sequence_axis: Optional[str] = None
 
 
 def set_current_mesh(mesh: Optional[Mesh]) -> None:
@@ -24,6 +25,28 @@ def set_current_mesh(mesh: Optional[Mesh]) -> None:
 
 def get_current_mesh() -> Optional[Mesh]:
     return _current_mesh
+
+
+def set_sequence_axis(axis: Optional[str]) -> None:
+    """Enable sequence parallelism: [B, T, ...] activations shard T over
+    `axis` (and batch over 'data' only) instead of batch over (data, fsdp).
+    Registered by `make_sharded_train_step` when
+    `TrainConfig.sequence_parallel` is set; None disables."""
+    global _sequence_axis
+    _sequence_axis = axis
+
+
+def get_sequence_axis() -> Optional[str]:
+    return _sequence_axis
+
+
+def act_spec(ndim: int) -> P:
+    """PartitionSpec for a [B, T, ...] activation under the current parallel
+    mode: batch over (data, fsdp) by default; batch over data + sequence over
+    the registered sequence axis when sequence parallelism is on."""
+    if _sequence_axis is not None:
+        return P("data", _sequence_axis, *([None] * (ndim - 2)))
+    return P(("data", "fsdp"), *([None] * (ndim - 1)))
 
 
 def constrain(x, spec: P):

@@ -78,12 +78,14 @@ def ring_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "fsdp",
+    batch_axis: Optional[str] = None,
     block_q: int = 512,
     block_k: int = 512,
 ) -> jnp.ndarray:
     """shard_map wrapper: causal attention over a sequence 4x (or more) longer
-    than one device can hold. Returns [B, T, H, Dh], same sharding as q."""
-    seq_spec = P(None, axis_name, None, None)
+    than one device can hold. Returns [B, T, H, Dh], same sharding as q.
+    `batch_axis` additionally shards the batch dim (DP x SP training mode)."""
+    seq_spec = P(batch_axis, axis_name, None, None)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -108,9 +108,11 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
     """
     tx = make_optimizer(cfg.train, params_template)
 
-    from metamorph_tpu.parallel.context import set_current_mesh
+    from metamorph_tpu.parallel.context import (set_current_mesh,
+                                                 set_sequence_axis)
 
     set_current_mesh(mesh)
+    set_sequence_axis("fsdp" if cfg.train.sequence_parallel else None)
 
     param_specs = partition_specs({"__root__": params_template}, mesh)["__root__"]
     # opt_state mirrors param sharding; scalars replicated
@@ -136,7 +138,11 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
         "step": NamedSharding(mesh, P()),
     }
 
-    batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
+    if cfg.train.sequence_parallel:
+        # [B, T] arrays: batch over data, sequence over fsdp
+        batch_sh = NamedSharding(mesh, P("data", "fsdp"))
+    else:
+        batch_sh = NamedSharding(mesh, P(("data", "fsdp")))
     repl = NamedSharding(mesh, P())
 
     def batch_shardings(batch_template):

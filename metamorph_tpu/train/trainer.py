@@ -45,7 +45,7 @@ class TrainerArgs:
     hf_llama_path: Optional[str] = None       # import LLaMA weights
     hf_siglip_path: Optional[str] = None      # import SigLIP weights
     use_wandb: bool = False
-    attn_impl: str = "xla"                    # xla | flash
+    attn_impl: str = "xla"                    # xla | flash | ring (sequence parallel)
 
 
 def build_params(cfg: MetaMorphConfig, args: TrainerArgs, seed: int = 0):

@@ -45,6 +45,7 @@ def _reset_mesh_context():
     constraints; clear it so single-device tests don't constrain against a
     mesh left over from a sharded test."""
     yield
-    from metamorph_tpu.parallel.context import set_current_mesh
+    from metamorph_tpu.parallel.context import set_current_mesh, set_sequence_axis
 
     set_current_mesh(None)
+    set_sequence_axis(None)

@@ -157,6 +157,46 @@ def test_offload_optimizer_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_sequence_parallel_ring_step_matches_single_device():
+    """DP x SP training: batch over data, sequence over fsdp, attention as a
+    ring over the fsdp axis (attn_impl='ring') == plain single-device step.
+    This is the sequence-parallel long-context mode (SURVEY.md §5.7 stretch)
+    wired into the production train step."""
+    cfg = tiny_cfg(sequence_parallel=True)
+    params = M.init_metamorph_params(jax.random.PRNGKey(5), cfg, dtype=jnp.float32)
+    batch, pixels = make_batch(cfg)
+
+    # single-device reference (xla attention; ring is causal-only, identical
+    # for right-padded rows)
+    state = init_train_state(params, cfg)
+    tx = make_optimizer(cfg.train, params)
+    f1 = jax.jit(lambda s, b, p: train_step(s, b, p, cfg, tx))
+    s1, m1 = f1(state, batch, pixels)
+    s1, m1 = f1(s1, batch, pixels)
+
+    # data=2 x fsdp=4 mesh: T=24 shards 6 per device, B=4 shards 2 per device
+    mesh = build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
+    step_fn, tx2, state_sh, batch_sh_fn = make_sharded_train_step(
+        cfg, mesh, params, attn_impl="ring")
+    sh_params = shard_params(params, mesh)
+    state2 = {"params": sh_params, "opt_state": tx2.init(sh_params),
+              "step": jnp.zeros((), jnp.int32)}
+    bs = batch_sh_fn(batch)
+    batch2 = {k: jax.device_put(v, bs[k]) for k, v in batch.items()}
+    s2, m2 = step_fn(state2, batch2, pixels)
+    s2, m2 = step_fn(s2, batch2, pixels)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4, atol=2e-5)
+    for k in ("loss_language", "loss_image_ar"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]),
+                                   rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s1["params"]),
+                    jax.tree.leaves(jax.device_get(s2["params"]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_bf16_forward_finite():
     cfg = tiny_cfg()
     params = M.init_metamorph_params(jax.random.PRNGKey(4), cfg, dtype=jnp.bfloat16)
