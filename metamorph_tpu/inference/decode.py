@@ -133,7 +133,7 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
                                              "max_cache_len", "stop_ids",
                                              "do_sample", "temperature", "top_p",
-                                             "prefill_attn_impl"))
+                                             "prefill_attn_impl", "attn_impl"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -151,6 +151,8 @@ def greedy_decode(
                                      # score matrix never materializes (the
                                      # unpadded single row satisfies the flash
                                      # kernel's right-padded-lengths contract)
+    attn_impl: str = "xla",          # per-step cache attention: "pallas" = the
+                                     # decode kernel (ops/decode_attention.py)
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -191,7 +193,8 @@ def greedy_decode(
     def body(s: DecodeState):
         p = s.cache_len[None, None]  # [1,1] position of the new token
         h, cache = llama_lib.decode_step(
-            params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len)
+            params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len,
+            attn_impl=attn_impl)
         s = s._replace(cache=cache, cache_len=s.cache_len + 1)
         return _advance(params, cfg, s, h[:, 0], K, max_new_tokens, stop_ids,
                         do_sample, temperature, top_p)
@@ -210,7 +213,7 @@ class BatchedDecodeState(NamedTuple):
     rng: jax.Array
     cache: Dict[str, jnp.ndarray]
     cache_len: jnp.ndarray        # scalar int32 — slots filled (shared; left-pad)
-    key_mask: jnp.ndarray         # [B, S] bool — valid cache slots per row
+    starts: jnp.ndarray           # [B] int32 — first valid cache slot per row
     next_embed: jnp.ndarray       # [B, 1, D]
     prompt_lens: jnp.ndarray      # [B] int32 — real prompt lengths (RoPE pos)
     in_image: jnp.ndarray         # [B] bool
@@ -276,7 +279,7 @@ def _advance_batched(params, cfg: MetaMorphConfig, state: BatchedDecodeState,
 
     return BatchedDecodeState(
         rng=rng, cache=state.cache, cache_len=state.cache_len,
-        key_mask=state.key_mask, next_embed=next_embed,
+        starts=state.starts, next_embed=next_embed,
         prompt_lens=state.prompt_lens, in_image=in_image,
         img_count=img_count, ids=ids, n_ids=n_ids, img_embeds=img_embeds,
         n_img=n_img, steps=steps, done=done)
@@ -284,7 +287,8 @@ def _advance_batched(params, cfg: MetaMorphConfig, state: BatchedDecodeState,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
                                              "max_cache_len", "stop_ids",
-                                             "do_sample", "temperature", "top_p"))
+                                             "do_sample", "temperature", "top_p",
+                                             "attn_impl", "prefill_attn_impl"))
 def batched_greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -298,6 +302,10 @@ def batched_greedy_decode(
     temperature: float = 1.0,
     top_p: float = 1.0,
     sample_rng: jax.Array | None = None,
+    attn_impl: str = "xla",
+    prefill_attn_impl: str = "xla",  # "flash" ONLY for right-padded/full
+                                     # prompts (the kernel's length masking
+                                     # assumes right padding)
 ) -> Dict[str, jnp.ndarray]:
     """B>1 multimodal greedy decode (serving path). Prompts must be
     LEFT-padded (pack_sequences padding_side='left') so every row writes the
@@ -317,16 +325,17 @@ def batched_greedy_decode(
     pos = (jnp.cumsum(prompt_mask, axis=1) - 1) * prompt_mask
     h_all, cache = llama_lib.prefill(
         params["llama"], cfg.llama, prompt_embeds, pos.astype(jnp.int32),
-        prompt_mask.astype(jnp.int32), cache)
+        prompt_mask.astype(jnp.int32), cache, attn_impl=prefill_attn_impl)
 
-    key_mask = jnp.zeros((B, S), bool).at[:, :T0].set(prompt_mask.astype(bool))
     prompt_lens = prompt_mask.sum(axis=1).astype(jnp.int32)
+    # left-padded prompts: row b's valid keys start at its pad width
+    starts = (jnp.int32(T0) - prompt_lens).astype(jnp.int32)
 
     state = BatchedDecodeState(
         rng=sample_rng if sample_rng is not None else jax.random.PRNGKey(0),
         cache=cache,
         cache_len=jnp.int32(T0),
-        key_mask=key_mask,
+        starts=starts,
         next_embed=jnp.zeros((B, 1, D), dtype),
         prompt_lens=prompt_lens,
         in_image=jnp.zeros((B,), bool),
@@ -349,11 +358,10 @@ def batched_greedy_decode(
     def body(s: BatchedDecodeState):
         # token being fed is generated token #(steps-1) -> position L + steps-1
         p = (s.prompt_lens + s.steps - 1)[:, None]       # [B, 1] RoPE position
-        km = s.key_mask.at[:, s.cache_len].set(True)
         h, cache = llama_lib.decode_step(
             params["llama"], cfg.llama, s.next_embed, p, s.cache, s.cache_len,
-            key_mask=km)
-        s = s._replace(cache=cache, cache_len=s.cache_len + 1, key_mask=km)
+            starts=s.starts, attn_impl=attn_impl)
+        s = s._replace(cache=cache, cache_len=s.cache_len + 1)
         return _advance_batched(params, cfg, s, h[:, 0], K, max_new_tokens,
                                 stop_ids, do_sample, temperature, top_p)
 

@@ -122,9 +122,9 @@ def _lora_dense(layer: Params, name: str, x, cfg: LlamaConfig):
     return out
 
 
-def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
-                cache_kv=None, cache_idx=None, key_mask=None):
-    """Self-attention for one layer. Returns (out, (k,v)) — k/v for cache writes."""
+def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl):
+    """Self-attention for one layer (training / prefill — full sequence).
+    Returns (out, (k, v)) — k/v feed the decode cache at prefill."""
     B, T, D = x.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     q = _lora_dense(layer, "wq", x, cfg).reshape(B, T, H, Dh)
@@ -132,35 +132,9 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl,
     v = _lora_dense(layer, "wv", x, cfg).reshape(B, T, KV, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-
-    if cache_kv is not None:
-        # decode: append to cache then attend over the full cache
-        ck, cv = cache_kv  # [B, S, KV, Dh]
-        S = ck.shape[1]
-        key_pos = jnp.arange(S)[None, None, None, :]
-        if getattr(cache_idx, "ndim", 0) == 1:
-            # ragged (continuous-batching) decode: each row has its own write
-            # position / length; rows are right-aligned from slot 0 (T == 1)
-            b_idx = jnp.arange(B)
-            ck = ck.at[b_idx, cache_idx].set(k[:, 0].astype(ck.dtype))
-            cv = cv.at[b_idx, cache_idx].set(v[:, 0].astype(cv.dtype))
-            dec_mask = key_pos <= cache_idx[:, None, None, None]  # [B,1,1,S]
-            dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
-        else:
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k.astype(ck.dtype), cache_idx, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v.astype(cv.dtype), cache_idx, axis=1)
-            dec_mask = key_pos <= (cache_idx + T - 1)  # [1,1,1,S]
-            dec_mask = jnp.broadcast_to(dec_mask, (B, 1, T, S))
-        if key_mask is not None:
-            # left-padded batched prompts: pad slots are invalid keys
-            dec_mask = jnp.logical_and(dec_mask, key_mask[:, None, None, :])
-        out = dot_product_attention(q, ck, cv, mask=dec_mask)
-        new_kv = (ck, cv)
-    else:
-        out = attention(q, k, v, mask=mask, impl=attn_impl)
-        new_kv = (k, v)
+    out = attention(q, k, v, mask=mask, impl=attn_impl)
     out = out.reshape(B, T, H * Dh)
-    return _lora_dense(layer, "wo", out, cfg), new_kv
+    return _lora_dense(layer, "wo", out, cfg), (k, v)
 
 
 def _mlp_block(layer: Params, x, cfg: LlamaConfig):
@@ -170,12 +144,10 @@ def _mlp_block(layer: Params, x, cfg: LlamaConfig):
     return _lora_dense(layer, "w_down", gate * up, cfg)
 
 
-def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, mask,
-                   cache_kv=None, cache_idx=None, key_mask=None):
+def _decoder_layer(cfg: LlamaConfig, attn_impl: str, x, layer_params, cos, sin, mask):
     attn_p, mlp_p = layer_params["attn"], layer_params["mlp"]
     h = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
-    attn_out, new_kv = _attn_block(attn_p, cfg, h, cos, sin, mask, attn_impl,
-                                   cache_kv, cache_idx, key_mask)
+    attn_out, new_kv = _attn_block(attn_p, cfg, h, cos, sin, mask, attn_impl)
     x = x + attn_out
     h = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
     x = x + _mlp_block(mlp_p, h, cfg)
@@ -257,41 +229,90 @@ def lm_head(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarra
 # ---------------------------------------------------------------------------
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    """Decode cache, [L, B, KV, S, Dh]: each (row, kv head) owns a contiguous
+    [S, Dh] slab — the layout the Pallas decode-attention kernel streams."""
     L, KV, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    shape = (L, batch, max_len, KV, Dh)
+    shape = (L, batch, KV, max_len, Dh)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def prefill(params, cfg: LlamaConfig, inputs_embeds, positions, attn_mask,
             cache, attn_impl: str = "xla"):
-    """Run the prompt through the model, filling cache[:, :, :T]. Returns
+    """Run the prompt through the model, filling cache[..., :T, :]. Returns
     (hidden [B,T,D], cache)."""
-    T = inputs_embeds.shape[1]
     hidden, (ks, vs) = llama_forward(
         params, cfg, inputs_embeds, positions, attn_mask,
         attn_impl=attn_impl, return_cache=True)
+    # ks/vs: [L, B, T, KV, Dh] -> cache layout [L, B, KV, T, Dh]
+    ks = ks.transpose(0, 1, 3, 2, 4)
+    vs = vs.transpose(0, 1, 3, 2, 4)
     cache = {
-        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], ks.astype(cache["k"].dtype), 0, axis=2),
-        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], vs.astype(cache["v"].dtype), 0, axis=2),
+        "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], ks.astype(cache["k"].dtype), 0, axis=3),
+        "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], vs.astype(cache["v"].dtype), 0, axis=3),
     }
     return hidden, cache
 
 
 def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
-                cache, cache_idx: jnp.ndarray, key_mask=None):
+                cache, cache_idx: jnp.ndarray, starts=None,
+                attn_impl: str = "xla"):
     """One-token step. x: [B, 1, D]; pos: [B, 1]; cache_idx: scalar int
-    (number of tokens already in cache). key_mask [B, S] marks valid cache
-    slots (left-padded batched prompts). Returns (hidden [B,1,D], cache)."""
+    (number of tokens already in cache, shared) OR [B] int (per-row ragged
+    positions, continuous batching). starts [B] marks each row's first valid
+    key (left-padded batched prompts). attn_impl: "xla" | "pallas" (the
+    decode-attention kernel — TPU; interpret elsewhere).
+    Returns (hidden [B,1,D], cache).
+
+    Unlike training/prefill, the layer loop is UNROLLED: a `lax.scan` carry
+    would slice the [L, B, KV, S, Dh] cache per layer and restack the updated
+    slabs — ~3 full-cache copies of HBM traffic per token. Unrolled, each
+    layer does one tiny in-place token write (static layer index, donated
+    buffer) plus the unavoidable streaming read by the attention kernel;
+    measured 8.0 -> 3.1 ms/step at 600m, B=8, S=4k."""
+    from metamorph_tpu.ops.decode_attention import (decode_attention,
+                                                    decode_attention_xla)
+
+    B = x.shape[0]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = rope_tables(cfg, pos)
+    ck_all, cv_all = cache["k"], cache["v"]        # [L, B, KV, S, Dh]
+    ragged = getattr(cache_idx, "ndim", 0) == 1
+    if ragged:
+        lengths = (cache_idx + 1).astype(jnp.int32)
+        b_idx = jnp.arange(B)
+    else:
+        lengths = jnp.full((B,), cache_idx + 1, jnp.int32)
+    attn_fn = decode_attention if attn_impl == "pallas" else decode_attention_xla
 
-    def body(carry, inputs):
-        x = carry
-        layer_params, ck, cv = inputs
-        out, (nk, nv) = _decoder_layer(
-            cfg, "xla", x, layer_params, cos, sin, None,
-            cache_kv=(ck, cv), cache_idx=cache_idx, key_mask=key_mask)
-        return out, (nk, nv)
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        attn_p, mlp_p = lp["attn"], lp["mlp"]
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        q = _lora_dense(attn_p, "wq", h, cfg).reshape(B, 1, H, Dh)
+        k = _lora_dense(attn_p, "wk", h, cfg).reshape(B, 1, KV, Dh)
+        v = _lora_dense(attn_p, "wv", h, cfg).reshape(B, 1, KV, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        k1 = k[:, 0].astype(ck_all.dtype)          # [B, KV, Dh]
+        v1 = v[:, 0].astype(cv_all.dtype)
+        if ragged:
+            ck_all = ck_all.at[l, b_idx, :, cache_idx].set(k1)
+            cv_all = cv_all.at[l, b_idx, :, cache_idx].set(v1)
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k1[None, :, :, None, :], (l, 0, 0, cache_idx, 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v1[None, :, :, None, :], (l, 0, 0, cache_idx, 0))
+        if attn_impl == "pallas":
+            # hand the kernel the whole stacked cache + a static layer offset
+            # (a sliced operand would force an [B,KV,S,Dh] copy per layer)
+            out = attn_fn(q[:, 0], ck_all, cv_all, lengths, starts=starts,
+                          layer=l)
+        else:
+            out = attn_fn(q[:, 0], ck_all[l], cv_all[l], lengths, starts=starts)
+        x = x + _lora_dense(attn_p, "wo", out.reshape(B, 1, H * Dh), cfg)
+        h2 = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp_block(mlp_p, h2, cfg)
 
-    x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], cache["k"], cache["v"]))
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    return x, {"k": nk, "v": nv}
+    return x, {"k": ck_all, "v": cv_all}
