@@ -331,7 +331,11 @@ def bench_8b_slice(cfg, size):
     llama = LlamaConfig(num_layers=L)  # all other dims = 8B defaults
     cfg = _dc.replace(cfg, llama=llama,
                       train=TC(max_seq_len=T, batch_size=B,
-                               max_images_per_batch=2 * B, remat=True))
+                               max_images_per_batch=2 * B, remat=True,
+                               remat_policy=os.environ.get(
+                                   "BENCH_REMAT", "dots_no_batch"),
+                               ce_chunk=int(os.environ.get("BENCH_CE_CHUNK",
+                                                           512))))
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     log(f"8b-slice: layers={L} B={B} T={T} params={n_params/1e9:.2f}B")

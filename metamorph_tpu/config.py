@@ -170,6 +170,9 @@ class TrainConfig:
     # outputs (14% faster fwd+bwd at 8B shapes on v5e, more live memory);
     # "nothing" recomputes the whole block (min memory); "dots" saves all dots
     remat_policy: str = "dots_no_batch"
+    # sequence-chunk width for the remat'd cross-entropy scan (the fp32
+    # [B, chunk, 128k] logits block is the live-memory knob)
+    ce_chunk: int = 512
     # Trainable sets for the 2-stage recipe:
     #   stage1 (connector pretrain): tune_mm_mlp_adapter=True, freeze LLM
     #   stage2 (full finetune): everything except (optionally) vision tower

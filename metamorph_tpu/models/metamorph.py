@@ -230,7 +230,9 @@ def metamorph_forward(
     # ---- text CE (shifted) — metamorph_llama.py:401-413 ----
     # Chunked over the sequence so the fp32 [B,T,128k] logits never
     # materialize (the reference holds them whole; at B=4,T=4096 that is 8GB).
-    loss_language = _chunked_ce(params, cfg, hidden[:, :-1], batch["labels"][:, 1:])
+    loss_language = _chunked_ce(params, cfg, hidden[:, :-1],
+                                batch["labels"][:, 1:],
+                                chunk=cfg.train.ce_chunk)
     valid = (batch["labels"][:, 1:] != IGNORE_INDEX)
     n_valid = jnp.maximum(valid.sum(), 1)
 

@@ -31,7 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--logging-steps", type=int, default=1)
     p.add_argument("--image-aspect-ratio", default="square")
     p.add_argument("--group-by-modality-length", action="store_true")
-    p.add_argument("--attn-impl", default="flash", choices=["xla", "flash"])
+    p.add_argument("--attn-impl", default="flash",
+                   choices=["xla", "flash", "ring"],
+                   help="ring = sequence-parallel ring attention (set "
+                        "train.sequence_parallel in the config JSON; "
+                        "max_seq_len must divide the fsdp axis)")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--use-wandb", action="store_true")
     p.add_argument("--no-resume", action="store_true")
