@@ -246,7 +246,9 @@ def bench_serve(cfg, size):
     def run():
         eng = ServeEngine(params, cfg, n_slots=n_slots, max_cache_len=512,
                           max_new_tokens_cap=128, max_images=1,
-                          prefill_buckets=(64, 128, 256), steps_per_sync=16)
+                          prefill_buckets=(64, 128, 256),
+                          steps_per_sync=int(os.environ.get(
+                              "BENCH_SERVE_SYNC", 16)))
         for r in reqs:
             eng.submit(r)
         done = eng.run()
