@@ -238,3 +238,35 @@ def test_flash_prefill_matches_xla(params):
     np.testing.assert_allclose(np.asarray(a["image_embeds"]),
                                np.asarray(b["image_embeds"]), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_sharded_batched_decode_matches_single_device(params):
+    """Multi-chip serving: batched decode with fsdp x tensor sharded params
+    (how an 8B that does not fit one chip is served) == unsharded decode,
+    bitwise on token ids. GSPMD propagates the param shardings through the
+    unrolled decode step; the KV cache shards its head dim over tensor."""
+    from metamorph_tpu.config import MeshConfig
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.parallel.context import set_current_mesh
+    from metamorph_tpu.parallel.mesh import build_mesh
+    from metamorph_tpu.parallel.sharding import shard_params
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(10, 1000, (4, 6)).astype(np.int32))
+    prompt = L.embed_tokens(params["llama"], ids)
+    mask = jnp.ones((4, 6), jnp.int32)
+
+    ref = batched_greedy_decode(params, CFG, prompt, mask, max_new_tokens=8,
+                                max_images=2)
+    mesh = build_mesh(MeshConfig(data=1, fsdp=4, tensor=2))
+    sp = shard_params(params, mesh)
+    set_current_mesh(mesh)
+    try:
+        out = batched_greedy_decode(sp, CFG, prompt, mask, max_new_tokens=8,
+                                    max_images=2)
+    finally:
+        set_current_mesh(None)
+    np.testing.assert_array_equal(np.asarray(ref["ids"]), np.asarray(out["ids"]))
+    np.testing.assert_allclose(np.asarray(ref["image_embeds"]),
+                               np.asarray(out["image_embeds"]),
+                               rtol=1e-4, atol=1e-5)
