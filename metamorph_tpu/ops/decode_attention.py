@@ -39,6 +39,11 @@ LANES = 128
 
 
 def _interpret() -> bool:
+    import os
+
+    v = os.environ.get("METAMORPH_PALLAS_INTERPRET")
+    if v is not None:
+        return v == "1"
     return jax.default_backend() != "tpu"
 
 

@@ -33,7 +33,17 @@ LANES = 128
 
 
 def _interpret() -> bool:
-    """Interpreter mode on non-TPU backends (CPU tests)."""
+    """Interpreter mode on non-TPU backends (CPU tests).
+
+    METAMORPH_PALLAS_INTERPRET overrides the backend probe: the dev
+    environment force-registers a remote-TPU platform, so default_backend()
+    can say "tpu" while the computation actually targets virtual CPU devices
+    (the multichip dryrun sets the override when it falls back to CPU)."""
+    import os
+
+    v = os.environ.get("METAMORPH_PALLAS_INTERPRET")
+    if v is not None:
+        return v == "1"
     return jax.default_backend() != "tpu"
 
 
