@@ -159,6 +159,12 @@ def bench_decode(cfg, size):
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    quant = bool(int(os.environ.get("BENCH_DECODE_QUANT", "0")))
+    if quant:
+        from metamorph_tpu.ops.quant import quantize_llama_decode
+
+        params = dict(params)
+        params["llama"] = quantize_llama_decode(params["llama"])
     rng = np.random.default_rng(0)
     T0 = int(os.environ.get("BENCH_DECODE_T0", 256))
     NEW = int(os.environ.get("BENCH_DECODE_NEW", 128))
@@ -207,6 +213,7 @@ def bench_decode(cfg, size):
     t_full = (time.time() - t0) / n_rep
     tok_s = total_steps / max(n_rep * (t_full - t_prefill), 1e-9)
     label = f"greedy decode new tokens/sec ({size} LLM, KV cache" + (
+        ", int8 weights" if quant else "") + (
         f", batch={B}, T0={T0})" if B > 1 else f", T0={T0})")
     print(json.dumps({
         "metric": label + f"; prefill (TTFT) reported separately",

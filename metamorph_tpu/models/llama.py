@@ -114,7 +114,15 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 
 
 def _lora_dense(layer: Params, name: str, x, cfg: LlamaConfig):
-    out = x @ layer[name]
+    w = layer[name]
+    if isinstance(w, dict):
+        # weight-only int8 (serving path, ops/quant.py) — the int8->bf16
+        # convert fuses into the dot; scale applies per output channel
+        from metamorph_tpu.ops.quant import quantized_matmul
+
+        out = quantized_matmul(x, w)
+    else:
+        out = x @ w
     a = layer.get(f"{name}_lora_a")
     if a is not None and cfg.lora_r > 0:
         scale = cfg.lora_alpha / cfg.lora_r
@@ -219,6 +227,11 @@ def llama_forward(
 def lm_head(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     if cfg.tie_word_embeddings:
         w = params["embed"]["embedding"].T
+    elif isinstance(params["lm_head"]["kernel"], dict):
+        from metamorph_tpu.ops.quant import quantized_matmul
+
+        return quantized_matmul(hidden, params["lm_head"]["kernel"]).astype(
+            jnp.float32)
     else:
         w = params["lm_head"]["kernel"]
     return (hidden @ w).astype(jnp.float32)
