@@ -277,6 +277,69 @@ def bench_serve(cfg, size):
     }))
 
 
+def bench_render(cfg, size):
+    """Visualizer render throughput: SD-1.5-shaped UNet denoise steps/sec at
+    512px (latent 64x64) with CFG (2x batch), plus the VAE decode, on one
+    chip — the reference runs this through torch diffusers on GPU
+    (`inference/demo.py:137-180`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.visualizer.unet import (UNetConfig, init_unet_params,
+                                               unet_apply)
+    from metamorph_tpu.visualizer.vae import (VAEConfig, init_vae_params,
+                                              vae_decode)
+
+    ucfg, vcfg = UNetConfig(), VAEConfig()
+    uparams = init_unet_params(jax.random.PRNGKey(0), ucfg, jnp.bfloat16)
+    vparams = init_vae_params(jax.random.PRNGKey(1), vcfg, jnp.bfloat16)
+    B = int(os.environ.get("BENCH_RENDER_BATCH", 1))
+    lat = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2 * B, 64, 64, ucfg.sample_channels)), jnp.bfloat16)
+    ctx = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2 * B, 77, ucfg.cross_attention_dim)), jnp.bfloat16)
+
+    @jax.jit
+    def eps_step(p, lat, ctx, t):
+        tt = jnp.full((2 * B,), t, jnp.int32)
+        return unet_apply(p, ucfg, lat, tt, ctx)
+
+    @jax.jit
+    def decode(p, lat, salt):
+        return vae_decode(p, vcfg, (lat[:B] + salt).astype(jnp.bfloat16)
+                          ).astype(jnp.float32).sum()
+
+    e = eps_step(uparams, lat, ctx, jnp.int32(500))
+    jax.block_until_ready(e)
+    t0 = time.time()
+    n = 10
+    for i in range(n):
+        # feed the output back: defeats result caching AND matches the real
+        # denoise dependency chain
+        lat = (lat - 0.001 * eps_step(uparams, lat, ctx,
+                                      jnp.int32(500 - i))).astype(jnp.bfloat16)
+    jax.block_until_ready(lat)
+    step_s = n / (time.time() - t0)
+
+    float(decode(vparams, lat, jnp.float32(0)))
+    t0 = time.time()
+    for i in range(3):
+        d = decode(vparams, lat, jnp.float32(i))
+    jax.block_until_ready(d)
+    vae_ms = (time.time() - t0) / 3 * 1e3
+
+    sec_per_image = 50 / step_s + vae_ms / 1e3
+    print(json.dumps({
+        "metric": (f"SD-1.5 visualizer render (512px, CFG, batch={B}): UNet "
+                   f"denoise steps/sec; vs_baseline = images/min at 50 steps"),
+        "value": round(step_s, 2),
+        "unit": "denoise steps/sec",
+        "vs_baseline": round(60.0 / sec_per_image, 2),
+        "vae_decode_ms": round(vae_ms, 1),
+        "sec_per_image_50steps": round(sec_per_image, 2),
+    }))
+
+
 def bench_encode(cfg, size):
     """Fused preprocess+encode images/sec/chip (BASELINE metric 2): uint8
     frames -> on-device resize+normalize -> SigLIP SO400M -> 64 tokens."""
@@ -426,6 +489,9 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "serve":
         bench_serve(cfg, size)
+        return
+    if os.environ.get("BENCH_MODE") == "render":
+        bench_render(cfg, size)
         return
     n_chips = len(jax.devices())
     log(f"bench: model={size} chips={n_chips} B={cfg.train.batch_size} "

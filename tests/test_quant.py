@@ -102,3 +102,29 @@ def test_quantized_greedy_decode_runs(params):
     out = greedy_decode(qparams, CFG, prompt, max_new_tokens=8, max_images=2)
     assert int(out["steps"]) >= 1
     assert np.all(np.asarray(out["ids"][: int(out["n_ids"])]) >= 0)
+
+
+def test_quantized_serve_engine(params):
+    """Continuous batching over int8 weights: the quantized tree flows through
+    prefill (scan over stacked int8 layers) and the unrolled decode."""
+    from metamorph_tpu.inference.serve import Request, ServeEngine
+
+    qparams = dict(params)
+    qparams["llama"] = quantize_llama_decode(params["llama"])
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(10, 1000, (1, 5)).astype(np.int32))
+    prompt = np.asarray(L.embed_tokens(qparams["llama"], ids)[0])
+    eng = ServeEngine(qparams, CFG, n_slots=2, max_cache_len=32,
+                      max_new_tokens_cap=8, max_images=1,
+                      prefill_buckets=(8,), steps_per_sync=2)
+    eng.submit(Request(prompt_embeds=prompt, max_new_tokens=6, uid="q"))
+    done = eng.run()
+    assert done[0].uid == "q" and done[0].steps >= 1
+
+    # matches the single-request quantized decode
+    from metamorph_tpu.inference.decode import greedy_decode
+
+    ref = greedy_decode(qparams, CFG, jnp.asarray(prompt)[None],
+                        max_new_tokens=6, max_images=1)
+    np.testing.assert_array_equal(done[0].ids,
+                                  np.asarray(ref["ids"][: int(ref["n_ids"])]))

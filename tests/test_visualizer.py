@@ -233,3 +233,4 @@ def test_render_pipeline_pndm():
     assert out.shape[0] == 1 and out.shape[-1] == 3
     assert np.isfinite(np.asarray(out)).all()
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
