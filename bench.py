@@ -239,6 +239,11 @@ def bench_serve(cfg, size):
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if bool(int(os.environ.get("BENCH_SERVE_QUANT", "0"))):
+        from metamorph_tpu.ops.quant import quantize_llama_decode
+
+        params = dict(params)
+        params["llama"] = quantize_llama_decode(params["llama"])
     rng = np.random.default_rng(0)
     n_slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
     n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", 32))

@@ -16,14 +16,13 @@ Weight layout matches HF LLaMA such that `hf_import.py` is a pure transpose.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from metamorph_tpu.config import LlamaConfig
-from metamorph_tpu.ops.attention import attention, dot_product_attention, NEG_INF
+from metamorph_tpu.ops.attention import attention
 
 Params = Dict[str, Any]
 
