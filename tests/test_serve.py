@@ -96,3 +96,17 @@ def test_serve_rejects_oversized(params):
                        max_new_tokens=8))
     with pytest.raises(ValueError):
         eng.run()
+
+
+def test_serve_latency_metrics(params):
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=1,
+                      prefill_buckets=(8,), steps_per_sync=2)
+    p = _prompts(params, [5])[0]
+    eng.submit(Request(prompt_embeds=p, max_new_tokens=4, uid="a"))
+    eng.submit(Request(prompt_embeds=p, max_new_tokens=4, uid="b"))
+    done = eng.run()
+    a, b = done
+    assert a.serve_s > 0 and b.serve_s > 0
+    # "b" waited for "a" to finish in the single slot
+    assert b.queue_s > a.queue_s
