@@ -275,6 +275,10 @@ def main(argv=None):
                    help="also run the torch reference path and compare logits")
     p.add_argument("--max-new-tokens", type=int, default=64)
     p.add_argument("--cosine-threshold", type=float, default=0.99)
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the int8 weight-only decode path "
+                        "(ops/quant.py) — certifies quantized serving "
+                        "quality against the same reference")
     args = p.parse_args(argv)
 
     import jax
@@ -311,6 +315,12 @@ def main(argv=None):
         if args.siglip:
             params["siglip"] = siglip_params_from_hf(
                 load_safetensors_dir(args.siglip), cfg.siglip, jnp.float32)
+
+    if args.int8:
+        from metamorph_tpu.ops.quant import quantize_llama_decode
+
+        params = dict(params)
+        params["llama"] = quantize_llama_decode(params["llama"])
 
     def load_frames(row):
         if not row.get("image"):
