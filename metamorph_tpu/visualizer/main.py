@@ -74,7 +74,8 @@ def main(argv=None):
         adapter_mode=args.adapter_mode, num_tokens=args.num_tokens,
         cfg_prob=args.cfg_prob, noise_offset=args.noise_offset,
         learning_rate=args.lr, unet_lr=args.unet_lr,
-        unfreeze_unet=args.unfreeze_unet, batch_size=args.batch_size,
+        unfreeze_unet=args.unfreeze_unet,
+        unet_from_scratch=args.unet_path is None, batch_size=args.batch_size,
         resolution=args.resolution, total_steps=args.total_steps)
     unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
 

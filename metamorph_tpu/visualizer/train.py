@@ -45,6 +45,10 @@ class VisualizerTrainConfig:
     learning_rate: float = 1e-4
     unet_lr: float = 1e-5
     unfreeze_unet: bool = False
+    # reference trains a from-scratch UNet with linear-warmup-then-CONSTANT
+    # LR instead of the warmup+decay used for finetuning
+    # (`visualization/train.py:408-411`, lr_lambda_warmup_constant)
+    unet_from_scratch: bool = False
     batch_size: int = 24
     resolution: int = 512
     total_steps: int = 16000
@@ -62,6 +66,17 @@ def lr_schedule(base_lr: float, target: int = 16000):
         decay = 1.0 - (step - peak) / (target - peak)
         mult = jnp.where(step < peak, warm, jnp.clip(decay, 0.0, 1.0))
         return base_lr * mult
+
+    return fn
+
+
+def lr_schedule_warmup_constant(base_lr: float, warmup: int = 10_000):
+    """Linear warmup over `warmup` steps, then constant — the reference's
+    from-scratch-UNet schedule (`visualization/train.py` lr_lambda_warmup_constant)."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        return base_lr * jnp.minimum(step / warmup, 1.0)
 
     return fn
 
@@ -106,8 +121,10 @@ def make_visualizer_train_step(tc: VisualizerTrainConfig, unet_cfg: UNetConfig,
     cfgs = (tc, unet_cfg, vae_cfg, sched)
     tx_adapter = optax.adamw(lr_schedule(tc.learning_rate, tc.total_steps),
                              b1=0.9, b2=0.999, weight_decay=0.01)
-    tx_unet = optax.adamw(lr_schedule(tc.unet_lr, tc.total_steps),
-                          b1=0.9, b2=0.999, weight_decay=0.01)
+    unet_sched = (lr_schedule_warmup_constant(tc.unet_lr)
+                  if tc.unet_from_scratch
+                  else lr_schedule(tc.unet_lr, tc.total_steps))
+    tx_unet = optax.adamw(unet_sched, b1=0.9, b2=0.999, weight_decay=0.01)
 
     def step(state, siglip_embeds, images, rng):
         if tc.unfreeze_unet:

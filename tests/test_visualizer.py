@@ -234,3 +234,20 @@ def test_render_pipeline_pndm():
     assert np.isfinite(np.asarray(out)).all()
     assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
 
+
+
+def test_from_scratch_unet_lr_schedule():
+    """Reference parity: from-scratch UNet uses linear-warmup-then-constant
+    (`visualization/train.py:408-411`); finetune keeps log-warmup+decay."""
+    import numpy as np
+
+    from metamorph_tpu.visualizer.train import (lr_schedule,
+                                                lr_schedule_warmup_constant)
+
+    f = lr_schedule_warmup_constant(1e-4, warmup=10_000)
+    np.testing.assert_allclose(float(f(0)), 0.0)
+    np.testing.assert_allclose(float(f(5_000)), 5e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(f(10_000)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(f(200_000)), 1e-4, rtol=1e-6)  # constant
+    g = lr_schedule(1e-4, 16_000)
+    assert float(g(15_999)) < float(g(4_000))  # decays after the peak
