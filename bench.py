@@ -247,18 +247,23 @@ def bench_serve(cfg, size):
     rng = np.random.default_rng(0)
     n_slots = int(os.environ.get("BENCH_SERVE_SLOTS", 8))
     n_req = int(os.environ.get("BENCH_SERVE_REQUESTS", 32))
+    t0_max = int(os.environ.get("BENCH_SERVE_T0", 256))
+    new_max = int(os.environ.get("BENCH_SERVE_NEW", 128))
+    cache = int(os.environ.get("BENCH_SERVE_CACHE", 512))
     reqs = []
     for i in range(n_req):
-        t0 = int(rng.integers(48, 256))
-        budget = int(rng.integers(32, 128))
+        t0 = int(rng.integers(t0_max // 5, t0_max))
+        budget = int(rng.integers(new_max // 4, new_max))
         ids = jnp.asarray(rng.integers(10, 100000, (1, t0)).astype(np.int32))
         pe = np.asarray(L.embed_tokens(params["llama"], ids)[0])
         reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget, uid=i))
 
     def run():
-        eng = ServeEngine(params, cfg, n_slots=n_slots, max_cache_len=512,
-                          max_new_tokens_cap=128, max_images=1,
-                          prefill_buckets=(64, 128, 256),
+        buckets = tuple(b for b in (64, 128, 256, 512, 1024, 2048)
+                        if b <= t0_max) or (t0_max,)
+        eng = ServeEngine(params, cfg, n_slots=n_slots, max_cache_len=cache,
+                          max_new_tokens_cap=new_max, max_images=1,
+                          prefill_buckets=buckets,
                           steps_per_sync=int(os.environ.get(
                               "BENCH_SERVE_SYNC", 16)))
         for r in reqs:
@@ -275,7 +280,8 @@ def bench_serve(cfg, size):
     tok_s = total / dt
     print(json.dumps({
         "metric": (f"continuous-batching serve throughput ({size} LLM, "
-                   f"{n_slots} slots, {n_req} mixed-length requests)"),
+                   f"{n_slots} slots, {n_req} mixed-length requests, "
+                   f"T0<{t0_max}, cache={cache})"),
         "value": round(tok_s, 1),
         "unit": "new tokens/sec",
         "vs_baseline": round(tok_s / 10.0, 3),  # vs reference O(T^2) B=1 loop
