@@ -23,7 +23,8 @@ from typing import List, Optional
 import numpy as np
 
 from metamorph_tpu.constants import (DEFAULT_IM_END_TOKEN,
-                                     DEFAULT_IM_START_TOKEN)
+                                     DEFAULT_IM_START_TOKEN, IM_END_TOKEN_ID,
+                                     IM_START_TOKEN_ID, LLAMA3_EOS_IDS)
 
 
 def fuse_request(params, cfg, tokenize, bos_token_id, prompt_text: str,
@@ -93,20 +94,27 @@ def main(argv=None):
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens)
     rows = [json.loads(l) for l in open(args.requests) if l.strip()]
+    submit_order = {}
     for i, row in enumerate(rows):
         frames = load_frames(row["image"]) if row.get("image") else []
         pe = fuse_request(params, cfg, lambda s: tok(s).input_ids,
                           tok.bos_token_id, row["prompt"], frames,
                           bucket=eng.prefill_buckets[0])
+        uid = row.get("uid", i)
+        submit_order[uid] = i
         eng.submit(Request(prompt_embeds=pe,
                            max_new_tokens=row.get("max_new_tokens",
                                                   args.max_new_tokens),
-                           uid=row.get("uid", i)))
+                           uid=uid))
 
     done = eng.run()
+    # drop pads and the ids our state machine treats specially; the
+    # tokenizer's own special tokens are removed by skip_special_tokens
+    drop_ids = set(LLAMA3_EOS_IDS) | {IM_START_TOKEN_ID, IM_END_TOKEN_ID}
     with open(args.out, "w") as f:
-        for c in sorted(done, key=lambda c: str(c.uid)):
-            text_ids = [int(t) for t in c.ids if 0 <= t < 128000]
+        for c in sorted(done, key=lambda c: submit_order.get(c.uid, 0)):
+            text_ids = [int(t) for t in c.ids
+                        if t >= 0 and int(t) not in drop_ids]
             f.write(json.dumps({
                 "uid": c.uid,
                 "text": tok.decode(text_ids, skip_special_tokens=True),

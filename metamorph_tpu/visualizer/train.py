@@ -81,6 +81,18 @@ def lr_schedule_warmup_constant(base_lr: float, warmup: int = 10_000):
     return fn
 
 
+def select_lr_schedules(tc: "VisualizerTrainConfig"):
+    """(adapter_schedule, unet_schedule) for a train config. A from-scratch
+    UNet switches BOTH to warmup-then-constant — the reference swaps the
+    projector's scheduler too (`visualization/train.py:409-418`,
+    lr_lambda_warmup_constant applied to optimizer AND optimizer_projector)."""
+    if tc.unet_from_scratch:
+        return (lr_schedule_warmup_constant(tc.learning_rate),
+                lr_schedule_warmup_constant(tc.unet_lr))
+    return (lr_schedule(tc.learning_rate, tc.total_steps),
+            lr_schedule(tc.unet_lr, tc.total_steps))
+
+
 def visualizer_loss(adapter_params, unet_params, vae_params, cfgs,
                     siglip_embeds, images, rng):
     """One training-step loss. cfgs = (train_cfg, unet_cfg, vae_cfg, sched)."""
@@ -119,11 +131,8 @@ def make_visualizer_train_step(tc: VisualizerTrainConfig, unet_cfg: UNetConfig,
     the batch sharded over every mesh axis, XLA all-reducing the grads."""
     sched = sched or DDPMScheduler()
     cfgs = (tc, unet_cfg, vae_cfg, sched)
-    tx_adapter = optax.adamw(lr_schedule(tc.learning_rate, tc.total_steps),
-                             b1=0.9, b2=0.999, weight_decay=0.01)
-    unet_sched = (lr_schedule_warmup_constant(tc.unet_lr)
-                  if tc.unet_from_scratch
-                  else lr_schedule(tc.unet_lr, tc.total_steps))
+    adapter_sched, unet_sched = select_lr_schedules(tc)
+    tx_adapter = optax.adamw(adapter_sched, b1=0.9, b2=0.999, weight_decay=0.01)
     tx_unet = optax.adamw(unet_sched, b1=0.9, b2=0.999, weight_decay=0.01)
 
     def step(state, siglip_embeds, images, rng):

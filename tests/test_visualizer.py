@@ -251,3 +251,22 @@ def test_from_scratch_unet_lr_schedule():
     np.testing.assert_allclose(float(f(200_000)), 1e-4, rtol=1e-6)  # constant
     g = lr_schedule(1e-4, 16_000)
     assert float(g(15_999)) < float(g(4_000))  # decays after the peak
+
+
+def test_from_scratch_switches_adapter_schedule_too():
+    """The reference swaps BOTH optimizers' schedulers when unet_from_scratch
+    (`visualization/train.py:409-418` — the projector scheduler at :416 also
+    becomes lr_lambda_warmup_constant). The adapter LR must be constant after
+    warmup in from-scratch mode and decaying in finetune mode."""
+    from metamorph_tpu.visualizer.train import (VisualizerTrainConfig,
+                                                select_lr_schedules)
+
+    scratch = VisualizerTrainConfig(unet_from_scratch=True,
+                                    total_steps=16_000, learning_rate=1e-4)
+    finetune = VisualizerTrainConfig(unet_from_scratch=False,
+                                     total_steps=16_000, learning_rate=1e-4)
+    ad_s, un_s = select_lr_schedules(scratch)
+    ad_f, un_f = select_lr_schedules(finetune)
+    assert float(ad_s(15_000)) == pytest.approx(1e-4)   # constant post-warmup
+    assert float(un_s(15_000)) == pytest.approx(scratch.unet_lr)
+    assert float(ad_f(15_999)) < 1e-4 * 0.2             # linear decay tail
