@@ -75,12 +75,21 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
              h_last: jnp.ndarray, K: int, max_new: int,
              stop_ids: tuple = (), do_sample: bool = False,
              temperature: float = 1.0, top_p: float = 1.0) -> DecodeState:
-    """Apply the state machine to the hidden state of the newest position."""
+    """Apply the state machine to the hidden state of the newest position.
+
+    Tail-latency notes (this runs once per generated token; at 600m/int8 the
+    surrounding plumbing was ~22% of the per-token budget): buffer updates are
+    dynamic_update_slice on a gathered old value, never `.at[dyn].set`
+    scatters (TPU lowers 1-element scatters much worse than DUS); the
+    conditional image write is a select, not `lax.cond` (a cond is a separate
+    sub-computation call per step); the rng split is skipped entirely for
+    greedy decode."""
     logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)  # [1, V]
-    rng, k_sample = jax.random.split(state.rng)
     if do_sample:
+        rng, k_sample = jax.random.split(state.rng)
         next_token = _sample_token(k_sample, logits, temperature, top_p)
     else:
+        rng = state.rng
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [1]
     tok = next_token[0]
 
@@ -95,15 +104,17 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
 
     # record the generated id for every branch except continuous emission
     record = ~emit_image
-    ids = state.ids.at[state.n_ids].set(jnp.where(record, tok, state.ids[state.n_ids]))
+    old_id = jax.lax.dynamic_slice(state.ids, (state.n_ids,), (1,))
+    ids = jax.lax.dynamic_update_slice(
+        state.ids, jnp.where(record, tok, old_id[0])[None], (state.n_ids,))
     n_ids = state.n_ids + record.astype(jnp.int32)
 
-    # record the 1152-d prediction during emission
-    img_embeds = jax.lax.cond(
-        emit_image,
-        lambda buf: buf.at[state.n_img].set(pred_z[0]),
-        lambda buf: buf,
-        state.img_embeds)
+    # record the 1152-d prediction during emission (select + DUS, no cond)
+    old_row = jax.lax.dynamic_slice(
+        state.img_embeds, (state.n_img, 0), (1, state.img_embeds.shape[1]))
+    img_embeds = jax.lax.dynamic_update_slice(
+        state.img_embeds, jnp.where(emit_image, pred_z, old_row),
+        (state.n_img, 0))
     n_img = state.n_img + emit_image.astype(jnp.int32)
     img_count = jnp.where(emit_image, state.img_count + 1, state.img_count)
 
@@ -289,7 +300,7 @@ def _advance_batched(params, cfg: MetaMorphConfig, state: BatchedDecodeState,
                                              "max_cache_len", "stop_ids",
                                              "do_sample", "temperature", "top_p",
                                              "attn_impl", "prefill_attn_impl"))
-def batched_greedy_decode(
+def _batched_greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
     prompt_embeds: jnp.ndarray,   # [B, T0, D] LEFT-padded fused prompts
@@ -373,6 +384,24 @@ def batched_greedy_decode(
         "n_image_tokens": state.n_img,
         "steps": state.steps,
     }
+
+
+def batched_greedy_decode(params, cfg, prompt_embeds, prompt_mask, *args,
+                          prefill_attn_impl: str = "xla", **kw):
+    """Host-side guard + jit dispatch. The flash prefill kernel derives row
+    lengths as mask.sum() and masks the TAIL (right padding); this decode
+    path LEFT-pads, so 'flash' on an actually-padded batch would silently
+    attend wrong. Only unpadded (all-ones mask) batches may use it."""
+    if prefill_attn_impl == "flash":
+        import numpy as _np
+        if not bool(_np.asarray(prompt_mask, bool).all()):
+            raise ValueError(
+                "prefill_attn_impl='flash' requires an unpadded batch here: "
+                "batched_greedy_decode left-pads, but the flash kernel masks "
+                "assuming right padding (use 'xla', or equal-length prompts)")
+    return _batched_greedy_decode(params, cfg, prompt_embeds, prompt_mask,
+                                  *args, prefill_attn_impl=prefill_attn_impl,
+                                  **kw)
 
 
 def generate_batched(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],

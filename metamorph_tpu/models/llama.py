@@ -328,3 +328,125 @@ def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     return x, {"k": ck_all, "v": cv_all}
+
+
+def _chunk_attention(q, ks, vs, chunk_pos, scale):
+    """Causal attention of a prompt chunk against one row's cache slab.
+    q: [C, H, Dh]; ks/vs: [KV, S, Dh]; chunk_pos: [C] absolute positions.
+    Chunk token c may read keys at positions <= chunk_pos[c] (its own K/V was
+    written into the slab before this call). Fully-masked rows (padding
+    tokens) produce finite garbage that the caller discards."""
+    C, H, Dh = q.shape
+    KV, S, _ = ks.shape
+    G = H // KV
+    qg = q.reshape(C, KV, G, Dh).astype(jnp.float32)
+    s = jnp.einsum("ckgd,ksd->kgcs", qg, ks.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(S)[None, :] <= chunk_pos[:, None]          # [C, S]
+    s = jnp.where(mask[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("kgcs,ksd->ckgd", p, vs.astype(jnp.float32))
+    return o.reshape(C, H, Dh).astype(q.dtype)
+
+
+def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
+                           pos: jnp.ndarray, cache, cache_idx: jnp.ndarray,
+                           chunk: jnp.ndarray, chunk_pos: jnp.ndarray,
+                           chunk_mask: jnp.ndarray, fill_slot: jnp.ndarray,
+                           attn_impl: str = "xla"):
+    """One decode step for every row PLUS one prompt chunk for row
+    `fill_slot`, fused so the chunk's projections/MLP ride the same weight
+    reads the (HBM-bound) decode step already pays for — chunked prefill that
+    overlaps with the decode stream instead of serializing against it
+    (vLLM-style; the reference has no serving path at all,
+    `metamorph_llama.py:502-597` is B=1 full recompute).
+
+    x: [B, 1, D] decode inputs; pos/cache_idx: per-row ragged positions [B].
+    chunk: [C, D] prompt-chunk embeddings for row fill_slot; chunk_pos: [C]
+    absolute positions; chunk_mask: [C] validity (False tokens neither write
+    cache nor produce usable hiddens). Returns (h_dec [B,1,D], h_chunk [C,D],
+    cache)."""
+    from metamorph_tpu.ops.decode_attention import (decode_attention,
+                                                    decode_attention_xla)
+
+    B = x.shape[0]
+    C = chunk.shape[0]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = Dh ** -0.5
+    ck_all, cv_all = cache["k"], cache["v"]        # [L, B, KV, S, Dh]
+    S = ck_all.shape[3]
+    b_idx = jnp.arange(B)
+    lengths = (cache_idx + 1).astype(jnp.int32)
+    attn_fn = decode_attention if attn_impl == "pallas" else decode_attention_xla
+
+    # combined RoPE tables: decode rows then chunk tokens, [1, B+C]
+    all_pos = jnp.concatenate([pos[:, 0], chunk_pos])[None]
+    cos, sin = rope_tables(cfg, all_pos)
+
+    xc = chunk[None].astype(x.dtype)               # [1, C, D]
+    chunk_off = chunk_pos[0]                       # chunk region start
+    cm = chunk_mask[:, None]
+
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        attn_p, mlp_p = lp["attn"], lp["mlp"]
+        h_d = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        h_c = rms_norm(xc, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        # ONE projection matmul over decode tokens + chunk tokens
+        hcat = jnp.concatenate([h_d[:, 0][None], h_c], axis=1)   # [1, B+C, D]
+        q = _lora_dense(attn_p, "wq", hcat, cfg).reshape(1, B + C, H, Dh)
+        k = _lora_dense(attn_p, "wk", hcat, cfg).reshape(1, B + C, KV, Dh)
+        v = _lora_dense(attn_p, "wv", hcat, cfg).reshape(1, B + C, KV, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # decode-token cache writes (per-row ragged; junk for the fill row —
+        # the scheduler parks its cache_idx at the end of the chunk region)
+        k1 = k[0, :B].astype(ck_all.dtype)          # [B, KV, Dh]
+        v1 = v[0, :B].astype(cv_all.dtype)
+        ck_all = ck_all.at[l, b_idx, :, cache_idx].set(k1)
+        cv_all = cv_all.at[l, b_idx, :, cache_idx].set(v1)
+        # chunk cache writes: [KV, C, Dh] into [fill_slot, :, off:off+C];
+        # masked tokens keep the existing cache values (an unmasked write
+        # could clobber generated KV after admission)
+        kc = k[0, B:].transpose(1, 0, 2).astype(ck_all.dtype)    # [KV, C, Dh]
+        vc = v[0, B:].transpose(1, 0, 2).astype(cv_all.dtype)
+        old_k = jax.lax.dynamic_slice(
+            ck_all, (l, fill_slot, 0, chunk_off, 0), (1, 1, KV, C, Dh))[0, 0]
+        old_v = jax.lax.dynamic_slice(
+            cv_all, (l, fill_slot, 0, chunk_off, 0), (1, 1, KV, C, Dh))[0, 0]
+        sel = chunk_mask[None, :, None]
+        kc = jnp.where(sel, kc, old_k)[None, None]
+        vc = jnp.where(sel, vc, old_v)[None, None]
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, kc, (l, fill_slot, 0, chunk_off, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, vc, (l, fill_slot, 0, chunk_off, 0))
+        # decode attention over the (updated) cache
+        q_dec = q[0, :B]
+        if attn_impl == "pallas":
+            out_d = attn_fn(q_dec, ck_all, cv_all, lengths, layer=l)
+        else:
+            out_d = attn_fn(q_dec, ck_all[l], cv_all[l], lengths)
+        # chunk attention against the fill row's slab (causal via positions)
+        slab_k = jax.lax.dynamic_slice(
+            ck_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
+        slab_v = jax.lax.dynamic_slice(
+            cv_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
+        out_c = _chunk_attention(q[0, B:], slab_k, slab_v, chunk_pos, scale)
+        # combined output projection + residual
+        ocat = jnp.concatenate([out_d.reshape(B, H * Dh)[None],
+                                out_c.reshape(C, H * Dh)[None]], axis=1)
+        proj = _lora_dense(attn_p, "wo", ocat, cfg)              # [1, B+C, D]
+        x = x + proj[0, :B][:, None]
+        xc = xc + proj[:, B:]
+        # combined MLP
+        h2_d = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        h2_c = rms_norm(xc, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        h2 = jnp.concatenate([h2_d[:, 0][None], h2_c], axis=1)
+        mlp_out = _mlp_block(mlp_p, h2, cfg)
+        x = x + mlp_out[0, :B][:, None]
+        xc = xc + mlp_out[:, B:]
+
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    xc = rms_norm(xc, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    return x, xc[0], {"k": ck_all, "v": cv_all}

@@ -270,3 +270,18 @@ def test_sharded_batched_decode_matches_single_device(params):
     np.testing.assert_allclose(np.asarray(ref["image_embeds"]),
                                np.asarray(out["image_embeds"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batched_flash_prefill_rejects_padded_batch(params):
+    """prefill_attn_impl='flash' assumes right-padded length masking, but
+    batched_greedy_decode LEFT-pads — a padded batch must be rejected loudly
+    instead of silently prefilling with wrong attention."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+
+    D = CFG.llama.hidden_size
+    embeds = jnp.zeros((2, 8, D), jnp.float32)
+    mask = jnp.asarray([[0, 0, 1, 1, 1, 1, 1, 1],
+                        [1, 1, 1, 1, 1, 1, 1, 1]], jnp.int32)
+    with pytest.raises(ValueError):
+        batched_greedy_decode(params, CFG, embeds, mask, max_new_tokens=2,
+                              prefill_attn_impl="flash")

@@ -85,17 +85,92 @@ def test_serve_continuous_admission(params):
 
 
 def test_serve_rejects_oversized(params):
+    """Every oversize mode raises at submit() — never inside step(), where it
+    would strand in-flight requests — and the engine stays usable after."""
     eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=32,
-                      max_new_tokens_cap=8, prefill_buckets=(8,))
-    with pytest.raises(ValueError):
-        eng.submit(Request(prompt_embeds=np.zeros((4, CFG.llama.hidden_size),
-                                                  np.float32),
+                      max_new_tokens_cap=8, max_images=1,
+                      prefill_buckets=(8,))
+    D = CFG.llama.hidden_size
+    with pytest.raises(ValueError):  # budget > ids buffer cap
+        eng.submit(Request(prompt_embeds=np.zeros((4, D), np.float32),
                            max_new_tokens=64))
-    eng.submit(Request(prompt_embeds=np.zeros((30, CFG.llama.hidden_size),
-                                              np.float32),
-                       max_new_tokens=8))
-    with pytest.raises(ValueError):
-        eng.run()
+    with pytest.raises(ValueError):  # prompt + generation > max_cache_len
+        eng.submit(Request(prompt_embeds=np.zeros((30, D), np.float32),
+                           max_new_tokens=8))
+    with pytest.raises(ValueError):  # prompt > largest bucket (== cache len)
+        eng.submit(Request(prompt_embeds=np.zeros((40, D), np.float32),
+                           max_new_tokens=1))
+    good = _prompts(params, [5], seed=1)[0]
+    eng.submit(Request(prompt_embeds=good, max_new_tokens=4, uid="ok"))
+    done = eng.run()
+    assert [c.uid for c in done] == ["ok"]
+
+
+def test_serve_bucket_never_exceeds_cache(params):
+    """Buckets above max_cache_len are clamped in __init__ — an unclamped
+    bucket would dynamic_update_slice an oversized row cache into the engine
+    cache (hard XLA error mid-run)."""
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=24,
+                      max_new_tokens_cap=8, max_images=1,
+                      prefill_buckets=(8, 64, 4096))
+    assert eng.prefill_buckets == (8, 24)
+    p = _prompts(params, [10], seed=2)[0]  # buckets to 24, not 64
+    eng.submit(Request(prompt_embeds=p, max_new_tokens=4, uid="x"))
+    done = eng.run()
+    ref_ids, _ = _reference(params, p, 4)
+    np.testing.assert_array_equal(done[0].ids, ref_ids)
+
+
+def test_chunked_fill_matches_blocking_prefill(params):
+    """A request admitted via chunked prefill (fused into the decode stream,
+    _decode_fill_all) decodes the same tokens as the blocking-prefill path
+    and as a standalone single-request decode — while another slot keeps
+    generating."""
+    prompts = _prompts(params, [5, 13], seed=11)
+    eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(8, 16), steps_per_sync=2,
+                      fill_chunk=4)
+    assert eng.fill_chunk == 4  # 64 % 4 == 0 -> chunked fill enabled
+    eng.submit(Request(prompt_embeds=prompts[0], max_new_tokens=12, uid="a"))
+    eng.step()                  # blocking admit (nothing decoding yet)
+    assert eng._fill is None
+    # "b" (13 tokens -> 4 chunks of 4) arrives while "a" decodes: must go
+    # through the chunked-fill path
+    eng.submit(Request(prompt_embeds=prompts[1], max_new_tokens=9, uid="b"))
+    eng.step()
+    assert eng._fill is not None or eng.slot_uid.count(None) == 0
+    done = eng.run()
+    assert sorted(str(c.uid) for c in done) == ["a", "b"]
+    for c in done:
+        p, budget = (prompts[0], 12) if c.uid == "a" else (prompts[1], 9)
+        ref_ids, ref_emb = _reference(params, p, budget)
+        np.testing.assert_array_equal(c.ids, ref_ids)
+        assert c.image_embeds.shape[0] == ref_emb.shape[0]
+        if ref_emb.size:
+            np.testing.assert_allclose(c.image_embeds, ref_emb,
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_fill_high_churn_stream(params):
+    """Stream of staggered requests through 2 slots with chunked fill on:
+    every completion must match its standalone decode (stress: admissions
+    continuously interleave with decode chunks)."""
+    lengths = [6, 11, 4, 9, 14, 7]
+    budgets = [8, 5, 10, 6, 4, 7]
+    prompts = _prompts(params, lengths, seed=23)
+    eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(16,), steps_per_sync=4,
+                      fill_chunk=4)
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        eng.submit(Request(prompt_embeds=p, max_new_tokens=b, uid=i))
+    done = eng.run()
+    assert sorted(c.uid for c in done) == list(range(6))
+    for c in done:
+        ref_ids, ref_emb = _reference(params, prompts[c.uid], budgets[c.uid])
+        np.testing.assert_array_equal(c.ids, ref_ids)
+        assert c.image_embeds.shape[0] == ref_emb.shape[0]
 
 
 def test_serve_latency_metrics(params):
