@@ -54,6 +54,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.jsonl_index.restype = ctypes.c_long
     lib.jsonl_index.argtypes = [ctypes.c_char_p,
                                 ctypes.POINTER(ctypes.c_int64), ctypes.c_long]
+    lib.modality_lengths.restype = ctypes.c_long
+    lib.modality_lengths.argtypes = [ctypes.c_char_p, i32p, ctypes.c_long]
     _lib = lib
     return _lib
 
@@ -130,6 +132,24 @@ def pack_sequences_native(
         img_gather_idx=gather, is_image=is_img.astype(bool),
         image_ar_mask=ar_mask, ar_batch_idx=ar_b, ar_pred_pos=ar_p,
         ar_target_idx=ar_t, ar_valid=ar_v, image_slot_used=slot_used)
+
+
+def modality_lengths_native(path: str) -> np.ndarray:
+    """Sign-coded per-line conversation word counts (positive = has image),
+    computed in ONE native pass over the JSONL — no per-line json.loads
+    (`metamorph/train/metamorph_trainer.py:66-91` sampler input). Raises on
+    malformed lines; callers fall back to the Python scan."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native packer unavailable")
+    n = lib.modality_lengths(path.encode(), None, 0)
+    if n < 0:
+        raise OSError(f"modality_lengths count failed on {path} ({n})")
+    out = np.zeros((n,), np.int32)
+    n2 = lib.modality_lengths(path.encode(), _ptr(out, ctypes.c_int32), n)
+    if n2 != n:
+        raise ValueError(f"modality_lengths failed on {path} ({n2})")
+    return out
 
 
 def jsonl_index_native(path: str) -> np.ndarray:

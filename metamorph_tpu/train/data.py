@@ -304,20 +304,55 @@ class LazySupervisedDataset:
         """Per-sample word-count length, sign-coded by modality (positive =
         multimodal, negative = text-only) — the attribute the reference's
         `LengthGroupedSampler` expects (`metamorph_trainer.py:66-91`; LLaVA
-        defines it as conversation word counts). One cheap text-only JSONL
-        scan, cached; no image decode."""
-        if self._modality_lengths is None:
-            lengths = []
-            with open(self.data_path, "r") as f:
-                for line in f:
-                    dat = json.loads(line)
-                    n = sum(len(str(c.get("value", "")).split())
-                            for c in dat.get("conversations", []))
-                    n = max(n, 1)
-                    has_image = self.use_metaclip or dat.get("image") is not None
-                    lengths.append(n if has_image else -n)
-            self._modality_lengths = lengths
-        return self._modality_lengths
+        defines it as conversation word counts). Resolution order: sidecar
+        cache beside the JSONL -> one native C++ pass (no per-line
+        json.loads; minutes -> O(file read) on multi-million-row mixes) ->
+        Python fallback scan. The result is cached to `<path>.modlen.npy`
+        (best effort) keyed on the JSONL's size+mtime."""
+        if self._modality_lengths is not None:
+            return self._modality_lengths
+        st = os.stat(self.data_path)
+        cache = self.data_path + ".modlen.npy"
+        key = np.asarray([st.st_size, int(st.st_mtime_ns)], np.int64)
+        try:
+            blob = np.load(cache, allow_pickle=False)
+            if blob.shape[0] >= 2 and (blob[:2] == key).all():
+                lengths = blob[2:].astype(int).tolist()
+                if self.use_metaclip:
+                    lengths = [abs(n) for n in lengths]
+                self._modality_lengths = lengths
+                return lengths
+        except Exception:
+            pass
+        lengths = self._scan_modality_lengths()
+        try:
+            np.save(cache, np.concatenate(
+                [key, np.asarray(lengths, np.int64)]))
+        except Exception:
+            pass  # read-only dataset dir: recompute next run
+        if self.use_metaclip:  # metaclip rows are all image-bearing
+            lengths = [abs(n) for n in lengths]
+        self._modality_lengths = lengths
+        return lengths
+
+    def _scan_modality_lengths(self) -> List[int]:
+        try:
+            from metamorph_tpu.multimodal.native import (
+                modality_lengths_native, native_available)
+
+            if native_available():
+                return modality_lengths_native(self.data_path).tolist()
+        except Exception:
+            pass
+        lengths = []
+        with open(self.data_path, "r") as f:
+            for line in f:
+                dat = json.loads(line)
+                n = sum(len(str(c.get("value", "")).split())
+                        for c in dat.get("conversations", []))
+                n = max(n, 1)
+                lengths.append(n if dat.get("image") is not None else -n)
+        return lengths
 
     def _load_image(self, path: str) -> np.ndarray:
         from PIL import Image

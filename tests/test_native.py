@@ -120,3 +120,102 @@ def test_native_variable_tokens_count_mismatch():
         native.pack_sequences_native(
             [[1, IMAGE_TOKEN_INDEX, 2, IMAGE_TOKEN_INDEX, 3]], None, 4, 16, 2,
             tokens_per_image=[3], gather_capacity=3)
+
+
+def _py_modality_lengths(path):
+    """The Python-semantics reference for the native one-pass scan."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            dat = json.loads(line)
+            n = sum(len(str(c.get("value", "")).split())
+                    for c in dat.get("conversations", []))
+            n = max(n, 1)
+            out.append(n if dat.get("image") is not None else -n)
+    return out
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no compiler")
+def test_modality_lengths_native_matches_python(tmp_path):
+    """One-pass C++ scan == per-line json.loads over tricky rows: escape
+    sequences that decode to whitespace, unicode whitespace, \\u escapes,
+    non-string values, missing keys, image null/absent/list, nested objects."""
+    rows = [
+        {"image": "a.png", "conversations": [
+            {"from": "human", "value": "<image>\nwhat   is\tthis?"},
+            {"from": "gpt", "value": "a cat"}]},
+        {"image": None, "conversations": [
+            {"from": "human", "value": "hello world three"}]},
+        {"conversations": [{"value": ""}, {"value": "  "}]},        # min 1
+        {"image": ["x.png", "y.png"], "conversations": [
+            {"value": "multi image list"}]},
+        {"image": "z.png"},                                          # no convs
+        {"image": "w.png", "conversations": [
+            {"value": 42}, {"value": "x\\ny"}, {"nested": {"value": "NO"}}]},
+        {"image": False, "conversations": [{"value": "bool image"}]},
+        {"image": "u.png", "conversations": [
+            {"value": "café naïve 😀 emoji"}]},
+        {"id": 7, "conversations": [
+            {"from": "human", "value": "deep [brackets] {braces} \"quoted\""}]},
+    ]
+    path = tmp_path / "tricky.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    got = native.modality_lengths_native(str(path)).tolist()
+    assert got == _py_modality_lengths(str(path))
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no compiler")
+def test_modality_lengths_native_fuzz(tmp_path):
+    rng = random.Random(0)
+    words = ["a", "bb", "ccc", "<image>", "x\ty", "p  q", "tail\n", "é", "日本"]
+    rows = []
+    for i in range(200):
+        convs = [{"from": rng.choice(["human", "gpt"]),
+                  "value": " ".join(rng.choices(words, k=rng.randint(0, 12)))}
+                 for _ in range(rng.randint(0, 4))]
+        row = {"conversations": convs}
+        mode = rng.random()
+        if mode < 0.4:
+            row["image"] = f"img{i}.png"
+        elif mode < 0.6:
+            row["image"] = None
+        rows.append(row)
+    path = tmp_path / "fuzz.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r, ensure_ascii=rng.random() < 0.5) + "\n")
+    got = native.modality_lengths_native(str(path)).tolist()
+    assert got == _py_modality_lengths(str(path))
+
+
+def test_modality_lengths_sidecar_cache(tmp_path):
+    """First access writes `<path>.modlen.npy`; a second dataset instance
+    reads it back; touching the JSONL invalidates it."""
+    import os
+    import time
+
+    from tests.test_data import make_ds
+
+    from PIL import Image
+
+    img_path = tmp_path / "i.png"
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_path)
+    path = str(tmp_path / "d.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"image": str(img_path), "conversations": [
+            {"from": "human", "value": "<image>\none two"}]}) + "\n")
+        f.write(json.dumps({"image": None, "conversations": [
+            {"from": "gpt", "value": "three"}]}) + "\n")
+
+    ds = make_ds(path)
+    first = ds.modality_lengths
+    assert os.path.exists(path + ".modlen.npy")
+    assert make_ds(path).modality_lengths == first  # served from sidecar
+
+    time.sleep(0.01)
+    with open(path, "a") as f:  # stale sidecar must be ignored
+        f.write(json.dumps({"image": None, "conversations": [
+            {"from": "gpt", "value": "four"}]}) + "\n")
+    assert len(make_ds(path).modality_lengths) == 3
