@@ -339,13 +339,16 @@ def _chunk_attention(q, ks, vs, chunk_pos, scale):
     C, H, Dh = q.shape
     KV, S, _ = ks.shape
     G = H // KV
-    qg = q.reshape(C, KV, G, Dh).astype(jnp.float32)
-    s = jnp.einsum("ckgd,ksd->kgcs", qg, ks.astype(jnp.float32),
+    # keep the dots in the input dtype with fp32 ACCUMULATION — an fp32 cast
+    # before the einsum would push a [C, S]-sized matmul off the MXU
+    qg = q.reshape(C, KV, G, Dh)
+    s = jnp.einsum("ckgd,ksd->kgcs", qg, ks,
                    preferred_element_type=jnp.float32) * scale
     mask = jnp.arange(S)[None, :] <= chunk_pos[:, None]          # [C, S]
     s = jnp.where(mask[None, None], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("kgcs,ksd->ckgd", p, vs.astype(jnp.float32))
+    o = jnp.einsum("kgcs,ksd->ckgd", p.astype(vs.dtype), vs,
+                   preferred_element_type=jnp.float32)
     return o.reshape(C, H, Dh).astype(q.dtype)
 
 

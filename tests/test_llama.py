@@ -90,3 +90,46 @@ def test_kv_cache_matches_full_forward(params):
         h_t, cache = L.decode_step(params, CFG, x, p, cache, jnp.int32(t))
         np.testing.assert_allclose(np.asarray(h_t[:, 0]), np.asarray(h_full[:, t]),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_decode_step_with_chunk_matches_prefill(params):
+    """Feeding a prompt through decode_step_with_chunk in chunks (the serve
+    engine's fused chunked-prefill path) produces the same cache contents and
+    the same last-position hidden state as a monolithic prefill."""
+    rng = np.random.default_rng(5)
+    B, S, C = 3, 32, 4
+    fill_slot = 1
+    T0 = 10                      # 3 chunks: 4 + 4 + 2
+    D = CFG.hidden_size
+    emb = jnp.asarray(rng.normal(size=(1, T0, D)).astype(np.float32))
+
+    # reference: monolithic prefill of the row
+    ref_cache = L.init_kv_cache(CFG, 1, S, dtype=jnp.float32)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    h_ref, ref_cache = L.prefill(params, CFG, emb, pos,
+                                 jnp.ones((1, T0), jnp.int32), ref_cache)
+
+    # fused path: B rows, other rows carry junk decode inputs
+    cache = L.init_kv_cache(CFG, B, S, dtype=jnp.float32)
+    cache_lens = jnp.asarray([5, 0, 7], jnp.int32)  # junk write positions
+    x_dec = jnp.asarray(rng.normal(size=(B, 1, D)).astype(np.float32))
+    h_chunk_last = None
+    for j in range((T0 + C - 1) // C):
+        lo, hi = j * C, min((j + 1) * C, T0)
+        chunk = jnp.zeros((C, D), jnp.float32).at[:hi - lo].set(emb[0, lo:hi])
+        chunk_pos = lo + jnp.arange(C, dtype=jnp.int32)
+        chunk_mask = jnp.arange(C) < (hi - lo)
+        # park the fill row's junk write at the end of this chunk's region,
+        # exactly like _decode_fill_all does
+        cl = cache_lens.at[fill_slot].set(hi)
+        _, h_chunk, cache = L.decode_step_with_chunk(
+            params, CFG, x_dec, cl[:, None], cache, cl,
+            chunk, chunk_pos, chunk_mask, jnp.int32(fill_slot))
+        h_chunk_last = h_chunk[hi - lo - 1]
+
+    for name in ("k", "v"):
+        np.testing.assert_allclose(
+            np.asarray(cache[name][:, fill_slot, :, :T0]),
+            np.asarray(ref_cache[name][:, 0, :, :T0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(h_chunk_last),
+                               np.asarray(h_ref[0, -1]), rtol=2e-4, atol=2e-4)
