@@ -80,6 +80,25 @@ PEAK_BF16_TFLOPS = {
     "TPU v3": 123.0,
 }
 
+HBM_GBPS = {
+    # per-chip HBM bandwidth (public spec sheets)
+    "TPU v5 lite": 819.0, "TPU v5e": 819.0,
+    "TPU v5": 2765.0, "TPU v5p": 2765.0,
+    "TPU v4": 1228.0,
+    "TPU v6 lite": 1640.0, "TPU v6e": 1640.0,
+    "TPU v3": 900.0,
+}
+
+
+def hbm_gbps_this_chip():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, bw in HBM_GBPS.items():
+        if kind.startswith(name):
+            return bw
+    return 819.0
+
 
 def chip_peak_tflops():
     import jax
@@ -144,6 +163,38 @@ def build_batch(cfg):
     S = cfg.siglip.image_size
     pixels = jnp.asarray(rng.normal(size=(2 * B, S, S, 3)).astype(np.float32))
     return batch, pixels
+
+
+def reference_recompute_tok_s(params, cfg, mean_T: int) -> float:
+    """Measured reference-decode rate: the reference generates each token
+    with a FULL forward over the growing sequence (use_cache=False,
+    `metamorph_llama.py:510,526-535`), so its per-token cost at mean
+    generation-window length Tm is one Tm-long forward + lm_head on the last
+    position. Time that forward on this chip and invert — replaces the old
+    hardcoded '~10 tok/s class' constant with a measurement."""
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.models import llama as L
+
+    Tm = max(int(mean_T), 8)
+    D = cfg.llama.hidden_size
+
+    @jax.jit
+    def fwd(p, x):
+        pos = jnp.arange(Tm, dtype=jnp.int32)[None]
+        h = L.llama_forward(p, cfg.llama, x, pos,
+                            jnp.ones((1, Tm), jnp.int32))
+        return L.lm_head(p, cfg.llama, h[:, -1:]).sum()
+
+    x = jnp.zeros((1, Tm, D), jnp.bfloat16)
+    float(fwd(params["llama"], x))  # compile
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        float(fwd(params["llama"], x + jnp.bfloat16(i * 1e-3)))
+    t_fwd = (time.time() - t0) / reps
+    return 1.0 / t_fwd
 
 
 def bench_decode(cfg, size):
@@ -212,16 +263,107 @@ def bench_decode(cfg, size):
         total_steps += (int(out["steps"]) - 1) * B
     t_full = (time.time() - t0) / n_rep
     tok_s = total_steps / max(n_rep * (t_full - t_prefill), 1e-9)
+    ref_tok_s = reference_recompute_tok_s(params, cfg, T0 + NEW // 2)
     label = f"greedy decode new tokens/sec ({size} LLM, KV cache" + (
         ", int8 weights" if quant else "") + (
         f", batch={B}, T0={T0})" if B > 1 else f", T0={T0})")
     print(json.dumps({
-        "metric": label + f"; prefill (TTFT) reported separately",
+        "metric": label + f"; prefill (TTFT) reported separately; "
+                  f"vs_baseline = speedup over the reference's measured "
+                  f"full-recompute-per-token loop on this chip",
         "value": round(tok_s, 1),
         "unit": "tokens/sec",
-        "vs_baseline": round(tok_s / 10.0, 3),  # reference O(T^2) CPU-bound loop ~10 tok/s class
+        "vs_baseline": round(tok_s / ref_tok_s, 2),
+        "reference_recompute_tok_s": round(ref_tok_s, 1),
         "prefill_ms": round(t_prefill * 1e3, 1),
         "attn_impl": attn,
+    }))
+
+
+def bench_decode_decomp(cfg, size):
+    """B=1 per-token cost decomposition: bare decode_step / +lm_head+embed /
+    the full greedy loop (state machine included). Quantifies how much of the
+    per-token budget the non-math plumbing costs (round-2: ~0.27 ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.inference.decode import greedy_decode
+    from metamorph_tpu.models import llama as L
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+
+    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    if bool(int(os.environ.get("BENCH_DECODE_QUANT", "1"))):
+        from metamorph_tpu.ops.quant import quantize_llama_decode
+
+        params = dict(params)
+        params["llama"] = quantize_llama_decode(params["llama"])
+    T0, NEW = 256, 128
+    S = T0 + NEW + 8
+    D = cfg.llama.hidden_size
+    attn = "pallas" if jax.default_backend() == "tpu" and S >= 1024 else "xla"
+    steps = 128
+
+    def timed(fn, *args):
+        fn(*args)                  # compile
+        reps = 3
+        t0 = time.time()
+        for _ in range(reps):
+            fn(*args)
+        return (time.time() - t0) / reps / steps * 1e3   # ms/token
+
+    @jax.jit
+    def loop_step_only(p, x0):
+        cache = L.init_kv_cache(cfg.llama, 1, S, dtype=jnp.bfloat16)
+
+        def body(i, carry):
+            x, cache = carry
+            h, cache = L.decode_step(p, cfg.llama, x, jnp.full((1, 1), T0 + i),
+                                     cache, jnp.int32(T0 + i), attn_impl=attn)
+            return (h, cache)
+
+        x, _ = jax.lax.fori_loop(0, steps, body, (x0, cache))
+        return x.sum()
+
+    @jax.jit
+    def loop_with_head(p, x0):
+        cache = L.init_kv_cache(cfg.llama, 1, S, dtype=jnp.bfloat16)
+
+        def body(i, carry):
+            x, cache = carry
+            h, cache = L.decode_step(p, cfg.llama, x, jnp.full((1, 1), T0 + i),
+                                     cache, jnp.int32(T0 + i), attn_impl=attn)
+            tok = jnp.argmax(L.lm_head(p, cfg.llama, h[:, 0]), -1)
+            return (L.embed_tokens(p, tok)[:, None].astype(x.dtype), cache)
+
+        x, _ = jax.lax.fori_loop(0, steps, body, (x0, cache))
+        return x.sum()
+
+    x0 = jnp.zeros((1, 1, D), jnp.bfloat16)
+    ms_step = timed(lambda p, x: float(loop_step_only(p, x)), params["llama"], x0)
+    ms_head = timed(lambda p, x: float(loop_with_head(p, x)), params["llama"], x0)
+
+    prompt = jnp.zeros((1, T0, D), jnp.bfloat16)
+
+    def full(i):
+        out = greedy_decode(params, cfg, prompt + jnp.bfloat16(i * 1e-3),
+                            max_new_tokens=steps, max_images=1,
+                            max_cache_len=S, attn_impl=attn)
+        jax.block_until_ready(out["ids"])
+
+    full(0)
+    t0 = time.time()
+    for i in range(3):
+        full(i + 1)
+    ms_full = (time.time() - t0) / 3 / steps * 1e3
+    print(json.dumps({
+        "metric": (f"B=1 {size} per-token ms (fori-loop, S={S}): decode_step "
+                   f"/ +lm_head+embed / full greedy loop (state machine)"),
+        "decode_step_ms": round(ms_step, 3),
+        "plus_head_ms": round(ms_head, 3),
+        "full_loop_ms": round(ms_full, 3),
+        "state_machine_overhead_ms": round(ms_full - ms_head, 3),
+        "attn_impl": attn,
+        "unit": "ms/token",
     }))
 
 
@@ -278,13 +420,18 @@ def bench_serve(cfg, size):
     total = run()
     dt = time.time() - t0
     tok_s = total / dt
+    mean_T = int(np.mean([r.prompt_embeds.shape[0] + r.max_new_tokens / 2
+                          for r in reqs]))
+    ref_tok_s = reference_recompute_tok_s(params, cfg, mean_T)
     print(json.dumps({
         "metric": (f"continuous-batching serve throughput ({size} LLM, "
                    f"{n_slots} slots, {n_req} mixed-length requests, "
-                   f"T0<{t0_max}, cache={cache})"),
+                   f"T0<{t0_max}, cache={cache}); vs_baseline = speedup over "
+                   f"the reference's measured full-recompute B=1 loop"),
         "value": round(tok_s, 1),
         "unit": "new tokens/sec",
-        "vs_baseline": round(tok_s / 10.0, 3),  # vs reference O(T^2) B=1 loop
+        "vs_baseline": round(tok_s / ref_tok_s, 2),
+        "reference_recompute_tok_s": round(ref_tok_s, 1),
     }))
 
 
@@ -395,10 +542,14 @@ def bench_encode(cfg, size):
 def bench_8b_slice(cfg, size):
     """Direct 8B-geometry evidence on a small chip: the TRUE 8B layer shapes
     (D=4096, F=14336, H=32/KV=8, Dh=128, V=128258, T=4096) with num_layers=4
-    so params+grads fit 16GB; measures fused-forward+backward (no optimizer —
-    the Adam update is a small memory-bound tail) and reports per-layer-slice
-    MFU. This pins the MFU term of the 8B projection to measured 8B matmul
-    shapes instead of extrapolating from a smaller geometry."""
+    so params+grads fit 16GB; measures fused-forward+backward MFU, PLUS the
+    real optimizer update (make_optimizer Adam + global-norm clip) timed at
+    slice state sizes so the 8B projection's tail term is measured, not
+    asserted. Projection is reported as a RANGE: the upper bound carries the
+    measured MFU to v5p unchanged; the lower bound applies a 15% MFU haircut
+    for the v5e->v5p carryover uncertainty. Both bounds include the measured
+    per-parameter optimizer cost scaled to 8B state on a v5p-8 (FSDP: 1/8 of
+    the state per chip, spec HBM-bandwidth ratio for the chip change)."""
     import dataclasses as _dc
     import functools
 
@@ -445,21 +596,75 @@ def bench_8b_slice(cfg, size):
     flops = train_step_flops(cfg, 2 * B)
     peak = chip_peak_tflops()
     mfu = flops / dt / (peak * 1e12) if peak else None
-    # convert to full-32-layer 8B tokens/sec at this measured MFU
+
+    # ---- measured optimizer tail at slice state sizes -----------------
+    import optax
+
+    from metamorph_tpu.train.optimizer import make_optimizer, trainable_mask
+
+    tx = make_optimizer(cfg.train, params)
+    opt_state = tx.init(params)
+    mask = trainable_mask(params, cfg.train)
+    grads = jax.tree.map(
+        lambda p, m: jnp.full_like(p, 1e-4 if m else 0.0), params, mask)
+    n_tr = sum(int(np.prod(p.shape))
+               for p, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask))
+               if m)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def opt_step(p, o, g, salt):
+        g = jax.tree.map(lambda x: x + salt.astype(x.dtype), g)
+        u, o2 = tx.update(g, o, p)
+        p2 = optax.apply_updates(p, u)
+        probe = sum(x.astype(jnp.float32).sum()
+                    for x in jax.tree.leaves(p2)[:1])
+        return p2, o2, probe
+
+    params, opt_state, probe = opt_step(params, opt_state, grads,
+                                        jnp.float32(0))
+    float(probe)
+    t0 = time.time()
+    opt_reps = 5
+    for i in range(opt_reps):
+        params, opt_state, probe = opt_step(params, opt_state, grads,
+                                            jnp.float32(i) * 1e-9)
+    float(probe)
+    tail_dt = (time.time() - t0) / opt_reps
+    per_param_s = tail_dt / n_tr
+    log(f"adam tail: {tail_dt*1e3:.1f} ms for {n_tr/1e9:.2f}B trainable "
+        f"({per_param_s*1e12:.2f} ps/param)")
+
+    # convert to full-32-layer 8B tokens/sec at this measured MFU, optimizer
+    # tail included: v5p-8 FSDP shards the 8B state 8 ways; the per-param
+    # streaming cost carries over by the spec HBM-bandwidth ratio
     cfg8 = _dc.replace(cfg, llama=LlamaConfig(),
                        train=TC(max_seq_len=4096, batch_size=8))
     f8_per_tok = train_step_flops(cfg8, 16) / (8 * 4096)
     v5p = PEAK_BF16_TFLOPS["TPU v5p"]
+    bw_ratio = HBM_GBPS["TPU v5p"] / hbm_gbps_this_chip()
+    n_8b = 8.03e9 + 0.1e9          # llama + projector/head trainables
+    tail_8b_s = (n_8b / 8) * per_param_s / bw_ratio
+    tokens_per_step_chip = 6 * 4096   # reference stage-2 recipe: 6/GPU, T=4096
+    def proj(mfu_val):
+        t_compute = tokens_per_step_chip * f8_per_tok / (mfu_val * v5p * 1e12)
+        return tokens_per_step_chip / (t_compute + tail_8b_s)
+    lo, hi = (proj(mfu * 0.85), proj(mfu)) if mfu else (None, None)
     print(json.dumps({
         "metric": (f"8B-geometry {L}-layer slice fwd+bwd MFU (D=4096 F=14336 "
                    f"H=32/KV=8 T=4096, full 128k vocab head); vs_baseline = "
-                   f"full-8B-on-v5p projection at this MFU"),
+                   f"full-8B-on-v5p projection (incl measured Adam tail, "
+                   f"15% MFU haircut) vs the 3k bar"),
         "value": round(mfu, 4) if mfu else None,
         "unit": "MFU",
-        "vs_baseline": round(mfu * v5p * 1e12 / f8_per_tok / 3000.0, 3) if mfu else None,
+        "vs_baseline": round(lo / 3000.0, 3) if lo else None,
         "tok_s_chip_this_chip": round(B * T / dt, 1),
         "slice_tflops_per_step": round(flops / 1e12, 2),
-        "projected_8b_v5p_tok_s_chip": round(mfu * v5p * 1e12 / f8_per_tok, 1) if mfu else None,
+        "adam_tail_ms_slice": round(tail_dt * 1e3, 2),
+        "adam_ps_per_param": round(per_param_s * 1e12, 2),
+        "adam_tail_ms_8b_v5p8": round(tail_8b_s * 1e3, 2),
+        "projected_8b_v5p_tok_s_chip": round(hi, 1) if hi else None,
+        "projected_8b_v5p_tok_s_chip_range": [round(lo, 1), round(hi, 1)]
+                                             if lo else None,
     }))
 
 
@@ -491,6 +696,9 @@ def main():
     cfg, size = build_cfg()
     if os.environ.get("BENCH_MODE") == "decode":
         bench_decode(cfg, size)
+        return
+    if os.environ.get("BENCH_MODE") == "decode_decomp":
+        bench_decode_decomp(cfg, size)
         return
     if os.environ.get("BENCH_MODE") == "encode":
         bench_encode(cfg, size)
@@ -547,6 +755,9 @@ def main():
     for _ in range(n_steps):
         state, metrics = step(state, batch, pixels)
     jax.block_until_ready(metrics["loss"])
+    # offload pipelines the optimizer update/write-back past the loss fetch;
+    # fence the full state so the timed window includes the final update
+    jax.block_until_ready(jax.tree.leaves(state["params"])[0])
     dt = time.time() - t0
 
     tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len

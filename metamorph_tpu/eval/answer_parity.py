@@ -95,8 +95,11 @@ def fuse_prompt(params, cfg, tokenize: Callable[[str], List[int]],
 
 
 def our_vqa(params, cfg, tokenize, frames, question: str,
-            max_new_tokens: int = 64) -> Dict[str, Any]:
-    """Our path: fused prompt -> prompt logits + KV-cache greedy answer ids."""
+            max_new_tokens: int = 64,
+            forward_only: bool = False) -> Dict[str, Any]:
+    """Our path: fused prompt -> prompt logits + KV-cache greedy answer ids.
+    forward_only skips the greedy decode (logit-cosine-only certification at
+    geometries where an autoregressive loop is impractical on this host)."""
     import jax.numpy as jnp
 
     from metamorph_tpu.inference.decode import greedy_decode
@@ -108,6 +111,8 @@ def our_vqa(params, cfg, tokenize, frames, question: str,
     hidden = llama_lib.llama_forward(params["llama"], cfg.llama, embeds, pos,
                                      jnp.ones((1, T), jnp.int32))
     logits = llama_lib.lm_head(params["llama"], cfg.llama, hidden[0])
+    if forward_only:
+        return {"answer_ids": [], "prompt_logits": np.asarray(logits)}
     out = greedy_decode(params, cfg, embeds, max_new_tokens=max_new_tokens,
                         max_images=max(len(frames), 1))
     n = int(out["n_ids"])
@@ -144,7 +149,8 @@ def _torch_projector(params_projector, acts):
 
 def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
                         tokenize, frames, question: str,
-                        max_new_tokens: int = 64) -> Dict[str, Any]:
+                        max_new_tokens: int = 64,
+                        forward_only: bool = False) -> Dict[str, Any]:
     """The reference pipeline in torch, sharing OUR weights for the connector:
     SigLIP tower + bilinear 729->K reduction + L2 norm
     (`siglip_encoder.py:138-213`) -> mm_projector -> per-sample splice at the
@@ -194,6 +200,8 @@ def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
 
         logits_prompt = model(inputs_embeds=embeds).logits[0].numpy()
 
+        if forward_only:
+            return {"answer_ids": [], "prompt_logits": logits_prompt}
         # full-recompute greedy, text-only (stop at image mode like the demo
         # VQA flow; answers are text)
         answer_ids: List[int] = []
@@ -279,10 +287,20 @@ def main(argv=None):
                    help="evaluate the int8 weight-only decode path "
                         "(ops/quant.py) — certifies quantized serving "
                         "quality against the same reference")
+    p.add_argument("--forward-only", action="store_true",
+                   help="compare prompt logits only (no greedy loop) — for "
+                        "8B-geometry certification on hosts where an "
+                        "autoregressive CPU loop is impractical")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend (numeric parity needs "
+                        "fp32 matmuls; TPU defaults fp32 inputs to bf16)")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from metamorph_tpu.constants import (DEFAULT_IM_END_TOKEN,
                                          DEFAULT_IM_START_TOKEN)
@@ -301,13 +319,19 @@ def main(argv=None):
                                             dtype=jnp.float32,
                                             hf_siglip_path=args.siglip)
     else:
+        import dataclasses
+
         from metamorph_tpu.config import MetaMorphConfig
-        from metamorph_tpu.models.hf_import import (llama_params_from_hf,
+        from metamorph_tpu.models.hf_import import (llama_config_from_hf,
+                                                    llama_params_from_hf,
                                                     load_safetensors_dir,
                                                     siglip_params_from_hf)
         from metamorph_tpu.models.metamorph import init_metamorph_params
 
         cfg = MetaMorphConfig()
+        if args.llama:  # geometry comes from the HF dir, not the default 8B
+            cfg = dataclasses.replace(cfg,
+                                      llama=llama_config_from_hf(args.llama))
         params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.float32)
         if args.llama:
             params["llama"] = llama_params_from_hf(
@@ -331,7 +355,8 @@ def main(argv=None):
 
     def our_fn(row):
         return our_vqa(params, cfg, tokenize, load_frames(row),
-                       row["question"], args.max_new_tokens)
+                       row["question"], args.max_new_tokens,
+                       forward_only=args.forward_only)
 
     ref_fn = None
     if args.torch_reference:
@@ -341,7 +366,8 @@ def main(argv=None):
         def ref_fn(row):  # noqa: F811
             return torch_reference_vqa(args.llama, args.siglip, params, cfg,
                                        tokenize, load_frames(row),
-                                       row["question"], args.max_new_tokens)
+                                       row["question"], args.max_new_tokens,
+                                       forward_only=args.forward_only)
 
     rows = [json.loads(l) for l in open(args.eval_jsonl) if l.strip()]
     result = evaluate_rows(rows, our_fn, ref_fn, detok, args.cosine_threshold)

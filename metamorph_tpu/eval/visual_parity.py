@@ -75,7 +75,15 @@ def main(argv=None):
     p.add_argument("--siglip", required=True, help="HF SigLIP weights dir")
     p.add_argument("--image", default=None, help="image path (random if absent)")
     p.add_argument("--threshold", type=float, default=0.99)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the JAX CPU backend (fp32 parity; TPU matmuls "
+                        "default fp32 inputs to bf16)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from metamorph_tpu.multimodal.mm_utils import siglip_preprocess
 

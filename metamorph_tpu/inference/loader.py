@@ -20,19 +20,40 @@ from metamorph_tpu.config import MetaMorphConfig
 from metamorph_tpu.models.metamorph import init_metamorph_params
 
 
+def resolve_model_dir(path_or_repo: str) -> str:
+    """Local directory passthrough; otherwise treat the string as an HF hub
+    repo id and snapshot-download it (the reference's loaders pull published
+    checkpoints from the hub, `inference/load_visualization.py:15-109`
+    hf_hub_download). Raises a clear error when the hub is unreachable."""
+    if os.path.isdir(path_or_repo):
+        return path_or_repo
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(path_or_repo)
+    except Exception as e:
+        raise FileNotFoundError(
+            f"'{path_or_repo}' is not a local directory and could not be "
+            f"fetched from the HF hub ({type(e).__name__}: {e})") from e
+
+
 def load_pretrained_model(
     model_path: str,
     dtype=jnp.bfloat16,
     hf_siglip_path: Optional[str] = None,
 ) -> Tuple[Any, MetaMorphConfig]:
-    """Load (params, cfg) from an exported checkpoint dir. The vision tower is
-    loaded from `hf_siglip_path` when given (the export stores LLM + projector
-    + vision_head; SigLIP is frozen upstream weights, `builder.py:128-136`)."""
+    """Load (params, cfg) from an exported checkpoint dir (or hub repo id).
+    The vision tower is loaded from `hf_siglip_path` when given (the export
+    stores LLM + projector + vision_head; SigLIP is frozen upstream weights,
+    `builder.py:128-136`)."""
     from metamorph_tpu.models.hf_import import (llama_params_from_hf,
                                                 load_safetensors_dir,
                                                 mlp_params_from_hf,
                                                 siglip_params_from_hf)
 
+    model_path = resolve_model_dir(model_path)
+    if hf_siglip_path:
+        hf_siglip_path = resolve_model_dir(hf_siglip_path)
     with open(os.path.join(model_path, "config.json")) as f:
         cfg = MetaMorphConfig.from_json(f.read())
 
@@ -63,6 +84,7 @@ def load_visualization(
     from metamorph_tpu.visualizer.unet import UNetConfig
     from metamorph_tpu.visualizer.vae import VAEConfig
 
+    ckpt_dir = resolve_model_dir(ckpt_dir)
     with open(os.path.join(ckpt_dir, "visualizer_config.json")) as f:
         meta = json.load(f)
     unet_cfg = UNetConfig(**{k: (tuple(v) if isinstance(v, list) else v)

@@ -183,6 +183,112 @@ def siglip_params_from_hf(tensors: Dict[str, np.ndarray], cfg, dtype=None,
     }
 
 
+def llama_config_from_hf(model_dir: str):
+    """LlamaConfig from an HF checkpoint dir's config.json (the loader-side
+    half of `/root/reference/metamorph/model/builder.py:85-92`
+    from_pretrained)."""
+    import json
+    import os
+
+    from metamorph_tpu.config import LlamaConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    rs = hf.get("rope_scaling") or {}
+    heads = hf["num_attention_heads"]
+    return LlamaConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", heads),
+        head_dim=hf.get("head_dim", hf["hidden_size"] // heads),
+        rope_theta=hf.get("rope_theta", 500000.0),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        max_position_embeddings=hf.get("max_position_embeddings", 8192),
+        rope_scaling=rs.get("rope_type") == "llama3",
+        rope_scaling_factor=rs.get("factor", 8.0),
+        rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
+        rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
+        rope_original_max_position=rs.get(
+            "original_max_position_embeddings", 8192),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def llama_config_to_hf(cfg) -> Dict:
+    """HF config.json dict for a LlamaForCausalLM-loadable export."""
+    out = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "hidden_act": "silu",
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        # with llama3 rope scaling, HF requires original < max (3.1 ships
+        # original 8192, max 131072); RoPE tables only depend on `original`
+        "max_position_embeddings": (max(131072, cfg.max_position_embeddings)
+                                    if cfg.rope_scaling
+                                    else cfg.max_position_embeddings),
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "attention_bias": False,
+        "mlp_bias": False,
+        "torch_dtype": "float32",
+    }
+    if cfg.rope_scaling:
+        out["rope_scaling"] = {
+            "rope_type": "llama3",
+            "factor": cfg.rope_scaling_factor,
+            "low_freq_factor": cfg.rope_low_freq_factor,
+            "high_freq_factor": cfg.rope_high_freq_factor,
+            "original_max_position_embeddings": cfg.rope_original_max_position,
+        }
+    return out
+
+
+def siglip_params_to_hf(params: Params, cfg,
+                        prefix: str = "vision_model.") -> Dict[str, np.ndarray]:
+    """Inverse of `siglip_params_from_hf` — HF SiglipVisionModel naming, used
+    to materialize an HF-loadable tower dir for the torch parity reference
+    (`/root/reference/metamorph/model/multimodal_encoder/siglip_encoder.py:113-114`)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def put(name, arr):
+        out[prefix + name] = np.asarray(arr)
+
+    # HWIO [P, P, 3, D] -> HF conv kernel [D, 3, P, P]
+    put("embeddings.patch_embedding.weight",
+        np.asarray(params["patch_embed"]["kernel"]).transpose(3, 2, 0, 1))
+    put("embeddings.patch_embedding.bias", params["patch_embed"]["bias"])
+    put("embeddings.position_embedding.weight", params["pos_embed"])
+    lyr = params["layers"]
+    pairs = [
+        ("self_attn.q_proj", lyr["attn"]["wq"]),
+        ("self_attn.k_proj", lyr["attn"]["wk"]),
+        ("self_attn.v_proj", lyr["attn"]["wv"]),
+        ("self_attn.out_proj", lyr["attn"]["wo"]),
+        ("mlp.fc1", lyr["mlp"]["fc1"]), ("mlp.fc2", lyr["mlp"]["fc2"]),
+    ]
+    for i in range(cfg.num_layers):
+        for name, p in pairs:
+            put(f"encoder.layers.{i}.{name}.weight",
+                np.asarray(p["kernel"][i]).T)
+            put(f"encoder.layers.{i}.{name}.bias", p["bias"][i])
+        for name, p in (("layer_norm1", lyr["ln1"]), ("layer_norm2", lyr["ln2"])):
+            put(f"encoder.layers.{i}.{name}.weight", p["scale"][i])
+            put(f"encoder.layers.{i}.{name}.bias", p["bias"][i])
+    put("post_layernorm.weight", params["final_ln"]["scale"])
+    put("post_layernorm.bias", params["final_ln"]["bias"])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # projector / head (torch nn.Sequential naming: "0.weight", "2.weight", ...)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Run the full extra-bench matrix SERIALLY on the local chip and assemble
+BENCH_EXTRA_r{N}.json (same keys as round 2's artifact, refreshed).
+
+    python scripts/bench_extra.py --out BENCH_EXTRA_r03.json [--only k1,k2]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MATRIX = {
+    "train_600m": {},
+    "train_600m_offload": {"BENCH_OFFLOAD": "1"},
+    "decode": {"BENCH_MODE": "decode"},
+    "decode_int8_b1": {"BENCH_MODE": "decode", "BENCH_DECODE_QUANT": "1"},
+    "decode_batched_8": {"BENCH_MODE": "decode", "BENCH_DECODE_BATCH": "8",
+                         "BENCH_DECODE_T0": "3968"},
+    "decode_int8_b8_4k": {"BENCH_MODE": "decode", "BENCH_DECODE_QUANT": "1",
+                          "BENCH_DECODE_BATCH": "8", "BENCH_DECODE_T0": "3968"},
+    "encode": {"BENCH_MODE": "encode"},
+    "serve_600m_8slots": {"BENCH_MODE": "serve"},
+    "serve_600m_8slots_int8": {"BENCH_MODE": "serve", "BENCH_SERVE_QUANT": "1"},
+    "serve_600m_longctx_int8": {"BENCH_MODE": "serve", "BENCH_SERVE_QUANT": "1",
+                                "BENCH_SERVE_T0": "2048",
+                                "BENCH_SERVE_CACHE": "4096",
+                                "BENCH_SERVE_REQUESTS": "24"},
+    "slice_8b_geometry_b1": {"BENCH_MODE": "8b_slice"},
+    "slice_8b_geometry_b2": {"BENCH_MODE": "8b_slice", "BENCH_BATCH": "2"},
+    "slice_8b_geometry_l8": {"BENCH_MODE": "8b_slice",
+                             "BENCH_SLICE_LAYERS": "8"},
+    "train_600m_longctx_16k_flash": {"BENCH_SEQLEN": "16384",
+                                     "BENCH_BATCH": "1", "BENCH_STEPS": "5"},
+    "decode_b1_cost_decomposition": {"BENCH_MODE": "decode_decomp"},
+    "render_sd15_512px": {"BENCH_MODE": "render"},
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="BENCH_EXTRA_r03.json")
+    p.add_argument("--only", default=None,
+                   help="comma-separated subset of keys")
+    p.add_argument("--timeout", type=int, default=2400)
+    args = p.parse_args(argv)
+
+    keys = args.only.split(",") if args.only else list(MATRIX)
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+    for k in keys:
+        envs = MATRIX[k]
+        print(f"[bench_extra] {k} {envs} ...", file=sys.stderr, flush=True)
+        env = dict(os.environ, **envs)
+        try:
+            r = subprocess.run([sys.executable, "bench.py"], env=env,
+                               capture_output=True, text=True, cwd=REPO,
+                               timeout=args.timeout)
+            line = None
+            for l in reversed(r.stdout.strip().splitlines()):
+                try:
+                    line = json.loads(l)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            results[k] = line or {
+                "error": f"rc={r.returncode}",
+                "stderr_tail": r.stderr.strip().splitlines()[-3:]}
+        except subprocess.TimeoutExpired:
+            results[k] = {"error": "timeout"}
+        with open(args.out, "w") as f:   # checkpoint after every mode
+            json.dump(results, f, indent=1)
+        print(f"[bench_extra] {k}: {json.dumps(results[k])[:200]}",
+              file=sys.stderr, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

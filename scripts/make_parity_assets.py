@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Build offline parity assets for eval/answer_parity.py --torch-reference.
+
+Real LLaMA-3.1-8B / SigLIP-SO400M / SD-1.5 weights are not obtainable in this
+environment (no network egress, no local HF cache). The strongest offline
+certification is implementation parity at TRUE model geometry against REAL
+`transformers` modeling code: this script materializes
+
+  * an HF-format LLaMA dir (config.json + model.safetensors) at a chosen
+    geometry (8b = LLaMA-3.1-8B incl. rope-llama3 scaling; 1b; 300m) with
+    random weights, loadable by `LlamaForCausalLM.from_pretrained`;
+  * an HF-format SigLIP vision dir at the real SO400M-patch14-384 geometry,
+    loadable by `SiglipVisionModel.from_pretrained`;
+  * a 128256-entry word-level tokenizer dir (AutoTokenizer-loadable) so the
+    <image_start>/<image_end> add_tokens land on ids 128256/128257 exactly
+    like the reference's resize (`metamorph_arch.py:427-446`);
+  * a synthetic VQA JSONL (+ PNG images).
+
+Both parity sides then share these weights bit-for-bit, so any divergence is
+an implementation bug, not model noise — the same property a real-weights run
+would certify, minus tokenizer BPE edge cases (recorded in ROADMAP).
+
+    python scripts/make_parity_assets.py --out /tmp/parity --llm 300m --rows 20
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def llm_config(size: str):
+    from metamorph_tpu.config import LlamaConfig
+
+    if size == "8b":
+        return LlamaConfig()  # defaults are LLaMA-3.1-8B
+    if size == "1b":
+        return LlamaConfig(hidden_size=2048, intermediate_size=8192,
+                           num_layers=16, num_heads=32, num_kv_heads=8,
+                           head_dim=64)
+    if size == "300m":
+        return LlamaConfig(hidden_size=1024, intermediate_size=4096,
+                           num_layers=12, num_heads=16, num_kv_heads=8,
+                           head_dim=64)
+    raise SystemExit(f"unknown --llm {size}")
+
+
+def write_llama_dir(out, params, cfg):
+    from safetensors.numpy import save_file
+
+    from metamorph_tpu.models.hf_import import (llama_config_to_hf,
+                                                llama_params_to_hf)
+
+    os.makedirs(out, exist_ok=True)
+    tensors = llama_params_to_hf(params, cfg)
+    save_file({k: np.ascontiguousarray(v, np.float32)
+               for k, v in tensors.items()},
+              os.path.join(out, "model.safetensors"))
+    with open(os.path.join(out, "config.json"), "w") as f:
+        json.dump(llama_config_to_hf(cfg), f, indent=1)
+
+
+def write_siglip_dir(out, params, cfg):
+    from safetensors.numpy import save_file
+
+    from metamorph_tpu.models.hf_import import siglip_params_to_hf
+
+    os.makedirs(out, exist_ok=True)
+    tensors = siglip_params_to_hf(params, cfg)
+    save_file({k: np.ascontiguousarray(v, np.float32)
+               for k, v in tensors.items()},
+              os.path.join(out, "model.safetensors"))
+    with open(os.path.join(out, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["SiglipVisionModel"],
+            "model_type": "siglip_vision_model",
+            "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "image_size": cfg.image_size,
+            "patch_size": cfg.patch_size,
+            "layer_norm_eps": cfg.layer_norm_eps,
+            "hidden_act": "gelu_pytorch_tanh",
+            "num_channels": 3,
+            "torch_dtype": "float32",
+        }, f, indent=1)
+
+
+WORDS = ("what is in this image describe the color shape animal object "
+         "scene a an the cat dog car tree red blue green small large "
+         "answer question picture show tell me about of and or on under "
+         "user assistant system you are helpful").split()
+
+
+def write_tokenizer_dir(out):
+    """Word-level tokenizer with EXACTLY 128256 base entries, so the
+    harness's add_tokens([<image_start>, <image_end>]) lands on 128256/7."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<unk>": 0, "<|begin_of_text|>": 1, "<|end_of_text|>": 2,
+             "<|start_header_id|>": 3, "<|end_header_id|>": 4,
+             "<|eot_id|>": 5}
+    for w in WORDS:
+        vocab.setdefault(w, len(vocab))
+    for ch in "abcdefghijklmnopqrstuvwxyz0123456789.,?!:;|<>_-":
+        vocab.setdefault(ch, len(vocab))
+    i = 0
+    while len(vocab) < 128256:
+        vocab.setdefault(f"tok_{i}", len(vocab))
+        i += 1
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>",
+        bos_token="<|begin_of_text|>", eos_token="<|end_of_text|>")
+    os.makedirs(out, exist_ok=True)
+    fast.save_pretrained(out)
+
+
+def write_eval_rows(out_dir, n_rows, seed, with_images=True):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rows = []
+    for i in range(n_rows):
+        row = {"question": " ".join(
+            rng.choice(WORDS, size=int(rng.integers(3, 9))).tolist())}
+        if with_images and i % 2 == 0:
+            # structured synthetic image: gradient + random rectangles
+            h = w = 384
+            img = np.zeros((h, w, 3), np.uint8)
+            img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None]
+            img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+            for _ in range(4):
+                y, x = rng.integers(0, h - 64), rng.integers(0, w - 64)
+                img[y:y + 64, x:x + 64] = rng.integers(0, 255, (3,))
+            path = os.path.join(img_dir, f"img_{i}.png")
+            Image.fromarray(img).save(path)
+            row["image"] = path
+        rows.append(row)
+    path = os.path.join(out_dir, "eval.jsonl")
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return path
+
+
+def write_demo_assets(out_dir, lcfg, scfg, seed):
+    """Framework checkpoint dir + SD-1.5-geometry visualizer dir so
+    `inference/demo.py` runs end-to-end to a PNG with no external weights."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.config import MetaMorphConfig
+    from metamorph_tpu.inference.loader import save_visualizer
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+    from metamorph_tpu.train.checkpoint import export_hf
+    from metamorph_tpu.visualizer.adapter import init_adapter
+    from metamorph_tpu.visualizer.unet import UNetConfig, init_unet_params
+    from metamorph_tpu.visualizer.vae import VAEConfig, init_vae_params
+
+    cfg = MetaMorphConfig()
+    cfg = dataclasses.replace(cfg, llama=lcfg, siglip=scfg)
+    params = init_metamorph_params(jax.random.PRNGKey(seed), cfg,
+                                   jnp.bfloat16)
+    ck = os.path.join(out_dir, "framework_ckpt")
+    export_hf(ck, params, cfg)
+    ucfg, vcfg = UNetConfig(), VAEConfig()   # real SD-1.5 geometry
+    adapter = init_adapter(jax.random.PRNGKey(seed + 7), mode="mlp",
+                           output_dim=ucfg.cross_attention_dim,
+                           num_tokens=cfg.mm.num_image_tokens,
+                           dtype=jnp.bfloat16)
+    unet = init_unet_params(jax.random.PRNGKey(seed + 8), ucfg, jnp.bfloat16)
+    vae = init_vae_params(jax.random.PRNGKey(seed + 9), vcfg, jnp.bfloat16)
+    vz = os.path.join(out_dir, "visualizer")
+    save_visualizer(vz, adapter, unet, vae, ucfg, vcfg, "mlp")
+    return ck, vz
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--llm", default="300m", choices=["8b", "1b", "300m"])
+    p.add_argument("--rows", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-images", action="store_true")
+    p.add_argument("--demo-assets", action="store_true",
+                   help="also write a framework checkpoint + SD-1.5-geometry "
+                        "visualizer dir for an end-to-end demo run")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from metamorph_tpu.config import MetaMorphConfig, SiglipConfig
+    from metamorph_tpu.models.llama import init_llama_params
+    from metamorph_tpu.models.siglip import init_siglip_params
+
+    lcfg = llm_config(args.llm)
+    scfg = SiglipConfig()  # real SO400M-patch14-384 geometry
+    # modest init scale keeps fp32 activations tame through 27+12 layers
+    llama = init_llama_params(jax.random.PRNGKey(args.seed), lcfg,
+                              dtype=jnp.float32)
+    write_llama_dir(os.path.join(args.out, "llama"), llama, lcfg)
+    del llama
+    siglip = init_siglip_params(jax.random.PRNGKey(args.seed + 1), scfg,
+                                dtype=jnp.float32)
+    write_siglip_dir(os.path.join(args.out, "siglip"), siglip, scfg)
+    del siglip
+    write_tokenizer_dir(os.path.join(args.out, "tokenizer"))
+    rows = write_eval_rows(args.out, args.rows, args.seed,
+                           with_images=not args.no_images)
+    if args.demo_assets:
+        write_demo_assets(args.out, lcfg, scfg, args.seed)
+    D, F, L = lcfg.hidden_size, lcfg.intermediate_size, lcfg.num_layers
+    per_layer = (D * (lcfg.num_heads + 2 * lcfg.num_kv_heads) * lcfg.head_dim
+                 + lcfg.num_heads * lcfg.head_dim * D + 3 * D * F + 2 * D)
+    total = lcfg.vocab_size * D * 2 + L * per_layer + D
+    print(json.dumps({"llama": os.path.join(args.out, "llama"),
+                      "siglip": os.path.join(args.out, "siglip"),
+                      "tokenizer": os.path.join(args.out, "tokenizer"),
+                      "eval_jsonl": rows, "llm_geometry": args.llm,
+                      "llm_params_b": round(total / 1e9, 2)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,3 +58,15 @@ def test_visualizer_save_load(tmp_path):
     for t1, t2 in ((adapter, a2), (unet, u2), (vae, v2)):
         for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t2)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resolve_model_dir(tmp_path):
+    """Local dirs pass through; non-dirs try the hub and raise a clear error
+    when unreachable (this machine has no egress)."""
+    import pytest
+
+    from metamorph_tpu.inference.loader import resolve_model_dir
+
+    assert resolve_model_dir(str(tmp_path)) == str(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        resolve_model_dir("no-such-org/no-such-repo-xyz")
