@@ -50,17 +50,41 @@ def llm_config(size: str):
     raise SystemExit(f"unknown --llm {size}")
 
 
-def write_llama_dir(out, params, cfg):
+def write_llama_dir(out, cfg, seed):
+    """Generate the HF-layout tensors DIRECTLY with numpy (iid normals are
+    layout-invariant, so this matches init_llama_params' distribution without
+    materializing a jax tree + per-slice transposed copies — the jax route
+    took hours at 8B on this 1-core host)."""
     from safetensors.numpy import save_file
 
-    from metamorph_tpu.models.hf_import import (llama_config_to_hf,
-                                                llama_params_to_hf)
+    from metamorph_tpu.models.hf_import import llama_config_to_hf
 
     os.makedirs(out, exist_ok=True)
-    tensors = llama_params_to_hf(params, cfg)
-    save_file({k: np.ascontiguousarray(v, np.float32)
-               for k, v in tensors.items()},
-              os.path.join(out, "model.safetensors"))
+    rng = np.random.default_rng(seed)
+    D, F = cfg.hidden_size, cfg.intermediate_size
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def w(shape, fan_in):
+        return (rng.standard_normal(shape, np.float32)
+                * np.float32(fan_in ** -0.5))
+
+    tensors = {"model.embed_tokens.weight": w((cfg.vocab_size, D), D),
+               "model.norm.weight": np.ones((D,), np.float32)}
+    if not cfg.tie_word_embeddings:
+        tensors["lm_head.weight"] = w((cfg.vocab_size, D), D)
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        tensors[p + "self_attn.q_proj.weight"] = w((H * Dh, D), D)
+        tensors[p + "self_attn.k_proj.weight"] = w((KV * Dh, D), D)
+        tensors[p + "self_attn.v_proj.weight"] = w((KV * Dh, D), D)
+        tensors[p + "self_attn.o_proj.weight"] = w((D, H * Dh), H * Dh)
+        tensors[p + "mlp.gate_proj.weight"] = w((F, D), D)
+        tensors[p + "mlp.up_proj.weight"] = w((F, D), D)
+        tensors[p + "mlp.down_proj.weight"] = w((D, F), F)
+        tensors[p + "input_layernorm.weight"] = np.ones((D,), np.float32)
+        tensors[p + "post_attention_layernorm.weight"] = np.ones((D,),
+                                                                 np.float32)
+    save_file(tensors, os.path.join(out, "model.safetensors"))
     with open(os.path.join(out, "config.json"), "w") as f:
         json.dump(llama_config_to_hf(cfg), f, indent=1)
 
@@ -205,17 +229,13 @@ def main(argv=None):
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from metamorph_tpu.config import MetaMorphConfig, SiglipConfig
-    from metamorph_tpu.models.llama import init_llama_params
+    from metamorph_tpu.config import SiglipConfig
     from metamorph_tpu.models.siglip import init_siglip_params
 
     lcfg = llm_config(args.llm)
     scfg = SiglipConfig()  # real SO400M-patch14-384 geometry
     # modest init scale keeps fp32 activations tame through 27+12 layers
-    llama = init_llama_params(jax.random.PRNGKey(args.seed), lcfg,
-                              dtype=jnp.float32)
-    write_llama_dir(os.path.join(args.out, "llama"), llama, lcfg)
-    del llama
+    write_llama_dir(os.path.join(args.out, "llama"), lcfg, args.seed)
     siglip = init_siglip_params(jax.random.PRNGKey(args.seed + 1), scfg,
                                 dtype=jnp.float32)
     write_siglip_dir(os.path.join(args.out, "siglip"), siglip, scfg)

@@ -51,12 +51,13 @@ def sh(args, timeout):
 
 def ensure_assets(workdir, llm, rows, no_images=False):
     out = os.path.join(workdir, llm)
-    if not os.path.isdir(os.path.join(out, "llama")):
+    marker = os.path.join(out, "llama", "model.safetensors")
+    if not os.path.exists(marker):
         rc, res = sh([sys.executable, "scripts/make_parity_assets.py",
                       "--out", out, "--llm", llm, "--rows", str(rows)]
                      + (["--no-images"] if no_images else []),
                      timeout=7200)
-        if rc != 0:
+        if rc != 0 or not os.path.exists(marker):
             raise RuntimeError(f"asset build failed: {res}")
     return out
 
@@ -80,12 +81,30 @@ def main(argv=None):
                  "implementation bug."),
     }
 
-    a300 = ensure_assets(args.workdir, "300m", args.rows)
-    py = sys.executable
+    if os.path.exists(args.out):   # resume: completed phases are kept
+        result.update(json.load(open(args.out)))
 
-    rc, result["visual_parity_so400m"] = sh(
+    def save():
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+
+    def phase(key, fn):
+        """Run one phase; checkpoint the artifact after it; never lose
+        earlier phases to a later crash."""
+        if key in result and "error" not in result.get(key, {}):
+            return
+        try:
+            rc, result[key] = fn()
+        except Exception as e:
+            result[key] = {"error": f"{type(e).__name__}: {e}"}
+        save()
+
+    py = sys.executable
+    a300 = ensure_assets(args.workdir, "300m", args.rows)
+
+    phase("visual_parity_so400m", lambda: sh(
         [py, "-m", "metamorph_tpu.eval.visual_parity",
-         "--siglip", os.path.join(a300, "siglip"), "--cpu"], timeout=3600)
+         "--siglip", os.path.join(a300, "siglip"), "--cpu"], timeout=3600))
 
     base = [py, "-m", "metamorph_tpu.eval.answer_parity",
             "--llama", os.path.join(a300, "llama"),
@@ -93,25 +112,28 @@ def main(argv=None):
             "--tokenizer", os.path.join(a300, "tokenizer"),
             "--eval-jsonl", os.path.join(a300, "eval.jsonl"),
             "--torch-reference", "--cpu", "--max-new-tokens", "12"]
-    rc, result["answer_parity_300m"] = sh(base, timeout=10800)
+    phase("answer_parity_300m", lambda: sh(base, timeout=10800))
     if not args.skip_int8:
-        rc, result["answer_parity_300m_int8"] = sh(base + ["--int8"],
-                                                   timeout=10800)
+        phase("answer_parity_300m_int8",
+              lambda: sh(base + ["--int8"], timeout=10800))
 
     if not args.skip_8b:
-        a8b = ensure_assets(args.workdir, "8b", 3, no_images=True)
-        rc, result["logit_parity_8b_geometry"] = sh(
-            [py, "-m", "metamorph_tpu.eval.answer_parity",
-             "--llama", os.path.join(a8b, "llama"),
-             "--tokenizer", os.path.join(a8b, "tokenizer"),
-             "--eval-jsonl", os.path.join(a8b, "eval.jsonl"),
-             "--torch-reference", "--cpu", "--forward-only"], timeout=14400)
+        def run_8b():
+            a8b = ensure_assets(args.workdir, "8b", 3, no_images=True)
+            return sh(
+                [py, "-m", "metamorph_tpu.eval.answer_parity",
+                 "--llama", os.path.join(a8b, "llama"),
+                 "--tokenizer", os.path.join(a8b, "tokenizer"),
+                 "--eval-jsonl", os.path.join(a8b, "eval.jsonl"),
+                 "--torch-reference", "--cpu", "--forward-only"],
+                timeout=14400)
+
+        phase("logit_parity_8b_geometry", run_8b)
 
     passes = [v.get("pass") for k, v in result.items()
               if isinstance(v, dict) and "pass" in v]
     result["all_pass"] = bool(passes) and all(passes)
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
+    save()
     print(json.dumps(result))
     return 0 if result["all_pass"] else 1
 
