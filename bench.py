@@ -407,7 +407,9 @@ def bench_serve(cfg, size):
                           max_new_tokens_cap=new_max, max_images=1,
                           prefill_buckets=buckets,
                           steps_per_sync=int(os.environ.get(
-                              "BENCH_SERVE_SYNC", 16)))
+                              "BENCH_SERVE_SYNC", 16)),
+                          fill_chunk=int(os.environ.get(
+                              "BENCH_SERVE_FILL", 256)))
         for r in reqs:
             eng.submit(r)
         done = eng.run()

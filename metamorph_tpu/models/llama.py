@@ -428,14 +428,21 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
         q_dec = q[0, :B]
         if attn_impl == "pallas":
             out_d = attn_fn(q_dec, ck_all, cv_all, lengths, layer=l)
+            # streaming chunk kernel: reads the fill row's slab straight out
+            # of the stacked cache — no slab copy, no [C, S] score buffer
+            from metamorph_tpu.ops.decode_attention import chunk_attention
+
+            out_c = chunk_attention(q[0, B:], ck_all, cv_all, fill_slot,
+                                    chunk_off, layer=l)
         else:
             out_d = attn_fn(q_dec, ck_all[l], cv_all[l], lengths)
-        # chunk attention against the fill row's slab (causal via positions)
-        slab_k = jax.lax.dynamic_slice(
-            ck_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
-        slab_v = jax.lax.dynamic_slice(
-            cv_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
-        out_c = _chunk_attention(q[0, B:], slab_k, slab_v, chunk_pos, scale)
+            # XLA fallback (CPU/tests): slab slice + masked dots
+            slab_k = jax.lax.dynamic_slice(
+                ck_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
+            slab_v = jax.lax.dynamic_slice(
+                cv_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
+            out_c = _chunk_attention(q[0, B:], slab_k, slab_v, chunk_pos,
+                                     scale)
         # combined output projection + residual
         ocat = jnp.concatenate([out_d.reshape(B, H * Dh)[None],
                                 out_c.reshape(C, H * Dh)[None]], axis=1)

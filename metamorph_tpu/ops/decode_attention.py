@@ -175,6 +175,110 @@ def decode_attention(
     return o.reshape(B, H, Dh)
 
 
+def _chunk_kernel(slot_ref, off_ref,              # scalar prefetch [1], [1]
+                  q_ref,                          # [1, G*C, Dh]
+                  k_ref, v_ref,                   # [1, 1, 1, BS, Dh]
+                  o_ref,                          # [1, G*C, Dh]
+                  acc, m_i, l_i,                  # scratch [G*C, *] fp32
+                  *, scale, block_s, n_s, chunk, group):
+    h, j = pl.program_id(0), pl.program_id(1)
+    del h
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    off = off_ref[0]
+    k_start = j * block_s
+    rows = group * chunk
+
+    # a block whose first key is past the chunk's last query position carries
+    # nothing (queries c attend to keys <= off + c <= off + chunk - 1)
+    @pl.when(k_start <= off + chunk - 1)
+    def _run():
+        q = q_ref[0].astype(jnp.float32)               # [G*C, Dh]
+        k = k_ref[0, 0, 0].astype(jnp.float32)         # [BS, Dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 0) % chunk
+        mask = col <= off + c
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_i[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_i[...] = jnp.broadcast_to(
+            alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape)
+        v = v_ref[0, 0, 0].astype(jnp.float32)
+        acc[...] = acc[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+
+    @pl.when(j == n_s - 1)
+    def _finish():
+        l = l_i[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc[...] / l_safe).astype(o_ref.dtype)
+
+
+def chunk_attention(
+    q: jnp.ndarray,          # [C, H, Dh] — one prompt chunk's queries
+    k: jnp.ndarray,          # [L, B, KV, S, Dh] stacked cache
+    v: jnp.ndarray,
+    slot: jnp.ndarray,       # int32 — cache row being filled
+    chunk_off: jnp.ndarray,  # int32 — absolute position of q[0]
+    layer: int,
+    block_s: int = 512,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Causal-with-offset attention of a prompt chunk against one row of the
+    stacked decode cache (chunked-prefill serving path): query token c reads
+    keys at positions <= chunk_off + c. Streams the row's [KV, S, Dh] slab
+    once — no [C, S] score materialization, no slab slice copy; one grid
+    program per (kv head, cache block). Returns [C, H, Dh] in q.dtype."""
+    C, H, Dh = q.shape
+    KV, S = k.shape[2], k.shape[3]
+    G = H // KV
+    scale = scale if scale is not None else Dh ** -0.5
+    block_s = min(block_s, S)
+    n_s = _cdiv(S, block_s)
+    # row r = g*C + c per kv head — the kernel recovers c as r % chunk
+    qg = q.reshape(C, KV, G, Dh).transpose(1, 2, 0, 3).reshape(KV, G * C, Dh)
+
+    def kv_index(h, j, slot_ref, off_ref):
+        return (layer, slot_ref[0], h, j, 0)
+
+    kernel = functools.partial(_chunk_kernel, scale=scale, block_s=block_s,
+                               n_s=n_s, chunk=C, group=G)
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(KV, n_s),
+            in_specs=[
+                pl.BlockSpec((1, G * C, Dh), lambda h, j, *_: (h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+                pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, G * C, Dh), lambda h, j, *_: (h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((G * C, Dh), jnp.float32),
+                pltpu.VMEM((G * C, LANES), jnp.float32),
+                pltpu.VMEM((G * C, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((KV, G * C, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(jnp.asarray([slot], jnp.int32), jnp.asarray([chunk_off], jnp.int32),
+      qg, k, v)
+    return o.reshape(KV, G, C, Dh).transpose(2, 0, 1, 3).reshape(C, H, Dh)
+
+
 def decode_attention_xla(
     q: jnp.ndarray,        # [B, H, Dh]
     k: jnp.ndarray,        # [B, KV, S, Dh]

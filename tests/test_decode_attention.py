@@ -88,3 +88,28 @@ def test_greedy_decode_pallas_path_matches_xla():
     np.testing.assert_allclose(np.asarray(a["image_embeds"]),
                                np.asarray(b["image_embeds"]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunk_attention_kernel_matches_xla():
+    """Streaming chunk kernel (chunked-prefill serving path) == masked-dot
+    reference: causal-with-offset masking, dynamic slot/offset prefetch,
+    GQA head grouping."""
+    from metamorph_tpu.ops.decode_attention import chunk_attention
+    from metamorph_tpu.models.llama import _chunk_attention
+
+    rng = np.random.default_rng(3)
+    L, B, KV, S, Dh, G, C = 2, 3, 2, 32, 8, 2, 8
+    H = KV * G
+    k = jnp.asarray(rng.normal(size=(L, B, KV, S, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, KV, S, Dh)).astype(np.float32))
+    for layer in (0, 1):
+        for slot in (0, 2):
+            for off in (0, 8, 16):
+                q = jnp.asarray(rng.normal(size=(C, H, Dh)).astype(np.float32))
+                got = chunk_attention(q, k, v, jnp.int32(slot),
+                                      jnp.int32(off), layer=layer, block_s=16)
+                pos = off + jnp.arange(C, dtype=jnp.int32)
+                want = _chunk_attention(q, k[layer, slot], v[layer, slot],
+                                        pos, Dh ** -0.5)
+                np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                           rtol=2e-5, atol=2e-5)
