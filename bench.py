@@ -599,14 +599,22 @@ def bench_8b_slice(cfg, size):
     peak = chip_peak_tflops()
     mfu = flops / dt / (peak * 1e12) if peak else None
 
-    # ---- measured optimizer tail at slice state sizes -----------------
+    # ---- measured optimizer tail (per-parameter cost) -----------------
+    # measured on a 2-layer-slice state: the update is a pure per-leaf
+    # memory stream, so ps/param transfers to 8B exactly; the full L-layer
+    # slice + its grads + fp moments would not co-reside in 16GB HBM
     import optax
 
     from metamorph_tpu.train.optimizer import make_optimizer, trainable_mask
 
-    tx = make_optimizer(cfg.train, params)
+    del batch, pixels
+    params = None  # free the slice (donated away below anyway)
+    cfg_tail = _dc.replace(cfg, llama=_dc.replace(cfg.llama, num_layers=2))
+    params = init_metamorph_params(jax.random.PRNGKey(1), cfg_tail,
+                                   jnp.bfloat16)
+    tx = make_optimizer(cfg_tail.train, params)
     opt_state = tx.init(params)
-    mask = trainable_mask(params, cfg.train)
+    mask = trainable_mask(params, cfg_tail.train)
     grads = jax.tree.map(
         lambda p, m: jnp.full_like(p, 1e-4 if m else 0.0), params, mask)
     n_tr = sum(int(np.prod(p.shape))
