@@ -223,7 +223,8 @@ def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
 
 def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
                   detokenize: Optional[Callable[[List[int]], str]] = None,
-                  cosine_threshold: float = 0.99) -> Dict[str, Any]:
+                  cosine_threshold: float = 0.99,
+                  cosine_only: bool = False) -> Dict[str, Any]:
     """Compare our outputs against reference answers (from the JSONL) and,
     when ref_fn is given, against a live reference run (answers + logits)."""
     n = exact = norm = 0
@@ -264,8 +265,15 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
     if cosines:
         result["mean_logit_cosine"] = float(np.mean(cosines))
         result["min_logit_cosine"] = float(np.min(cosines))
+        # cosine_only: the bar for LOSSY paths (int8 weight-only quant) —
+        # with random weights the argmax margins are noise-thin and
+        # quantization legitimately flips tokens; the implementation is
+        # certified by the logit direction, answer match stays informational
         result["pass"] = (result["min_logit_cosine"] >= cosine_threshold
-                          and result["normalized_match"] == 1.0)
+                          and (cosine_only
+                               or result["normalized_match"] == 1.0))
+        result["criterion"] = ("min_logit_cosine" if cosine_only
+                               else "cosine+answers")
     else:
         result["pass"] = result["normalized_match"] == 1.0
     return result
@@ -287,6 +295,10 @@ def main(argv=None):
                    help="evaluate the int8 weight-only decode path "
                         "(ops/quant.py) — certifies quantized serving "
                         "quality against the same reference")
+    p.add_argument("--cosine-only", action="store_true",
+                   help="pass criterion = logit cosine only (for lossy "
+                        "paths like --int8, where random-weight argmax "
+                        "margins make exact answer match meaningless)")
     p.add_argument("--forward-only", action="store_true",
                    help="compare prompt logits only (no greedy loop) — for "
                         "8B-geometry certification on hosts where an "
@@ -370,7 +382,8 @@ def main(argv=None):
                                        forward_only=args.forward_only)
 
     rows = [json.loads(l) for l in open(args.eval_jsonl) if l.strip()]
-    result = evaluate_rows(rows, our_fn, ref_fn, detok, args.cosine_threshold)
+    result = evaluate_rows(rows, our_fn, ref_fn, detok, args.cosine_threshold,
+                           cosine_only=args.cosine_only)
     print(json.dumps(result))
     return 0 if result["pass"] else 1
 

@@ -114,8 +114,10 @@ def main(argv=None):
             "--torch-reference", "--cpu", "--max-new-tokens", "12"]
     phase("answer_parity_300m", lambda: sh(base, timeout=10800))
     if not args.skip_int8:
+        # int8 is a LOSSY path: random-weight argmax margins are noise-thin,
+        # so the certification bar is logit-cosine (answers informational)
         phase("answer_parity_300m_int8",
-              lambda: sh(base + ["--int8"], timeout=10800))
+              lambda: sh(base + ["--int8", "--cosine-only"], timeout=10800))
 
     if not args.skip_8b:
         def run_8b():
