@@ -39,6 +39,13 @@ def llm_config(size: str):
 
     if size == "8b":
         return LlamaConfig()  # defaults are LLaMA-3.1-8B
+    if size == "8b2l":
+        # full 8B PER-LAYER geometry (D/F/H/KV/Dh/128k-vocab/rope-llama3
+        # identical) at 2 layers: certifies the 8B-specific math/layout risks
+        # (RoPE-3.1 at Dh=128, GQA 32/8, HF transposes at real shapes) on a
+        # host whose kernel zeroes large anonymous memory at ~10 MB/s — the
+        # true-32-layer fp32 pair (64 GB resident) is hours of page faults
+        return dataclasses.replace(LlamaConfig(), num_layers=2)
     if size == "1b":
         return LlamaConfig(hidden_size=2048, intermediate_size=8192,
                            num_layers=16, num_heads=32, num_kv_heads=8,
@@ -215,7 +222,7 @@ def write_demo_assets(out_dir, lcfg, scfg, seed):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
-    p.add_argument("--llm", default="300m", choices=["8b", "1b", "300m"])
+    p.add_argument("--llm", default="300m", choices=["8b", "8b2l", "1b", "300m"])
     p.add_argument("--rows", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-images", action="store_true")

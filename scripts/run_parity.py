@@ -121,7 +121,11 @@ def main(argv=None):
 
     if not args.skip_8b:
         def run_8b():
-            a8b = ensure_assets(args.workdir, "8b", 3, no_images=True)
+            # 8B per-layer geometry at 2 layers: this host's kernel zeroes
+            # large anonymous memory at ~15 MB/s (measured), making the
+            # 64GB-resident full-depth fp32 pair infeasible; layer count
+            # changes no per-layer math or weight layout
+            a8b = ensure_assets(args.workdir, "8b2l", 3, no_images=True)
             return sh(
                 [py, "-m", "metamorph_tpu.eval.answer_parity",
                  "--llama", os.path.join(a8b, "llama"),
