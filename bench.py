@@ -541,74 +541,20 @@ def bench_encode(cfg, size):
     }))
 
 
-def bench_8b_slice(cfg, size):
-    """Direct 8B-geometry evidence on a small chip: the TRUE 8B layer shapes
-    (D=4096, F=14336, H=32/KV=8, Dh=128, V=128258, T=4096) with num_layers=4
-    so params+grads fit 16GB; measures fused-forward+backward MFU, PLUS the
-    real optimizer update (make_optimizer Adam + global-norm clip) timed at
-    slice state sizes so the 8B projection's tail term is measured, not
-    asserted. Projection is reported as a RANGE: the upper bound carries the
-    measured MFU to v5p unchanged; the lower bound applies a 15% MFU haircut
-    for the v5e->v5p carryover uncertainty. Both bounds include the measured
-    per-parameter optimizer cost scaled to 8B state on a v5p-8 (FSDP: 1/8 of
-    the state per chip, spec HBM-bandwidth ratio for the chip change)."""
-    import dataclasses as _dc
+def _measure_adam_tail(cfg, _dc):
+    """Per-parameter optimizer-update cost, measured on a 2-layer-slice state
+    in an EMPTY HBM (run before the MFU phase: measured after it, allocator
+    pressure/fragmentation inflated the number 17x on B=2 runs). The update
+    is a pure per-leaf memory stream, so ps/param transfers to 8B exactly."""
     import functools
 
     import jax
     import jax.numpy as jnp
-
-    from metamorph_tpu.config import LlamaConfig, TrainConfig as TC
-    from metamorph_tpu.models.metamorph import init_metamorph_params
-    from metamorph_tpu.train.train_step import loss_fn
-
-    L = int(os.environ.get("BENCH_SLICE_LAYERS", 4))
-    B, T = int(os.environ.get("BENCH_BATCH", 1)), 4096
-    llama = LlamaConfig(num_layers=L)  # all other dims = 8B defaults
-    cfg = _dc.replace(cfg, llama=llama,
-                      train=TC(max_seq_len=T, batch_size=B,
-                               max_images_per_batch=2 * B, remat=True,
-                               remat_policy=os.environ.get(
-                                   "BENCH_REMAT", "dots_no_batch"),
-                               ce_chunk=int(os.environ.get("BENCH_CE_CHUNK",
-                                                           512))))
-    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
-    log(f"8b-slice: layers={L} B={B} T={T} params={n_params/1e9:.2f}B")
-    batch, pixels = build_batch(cfg)
-
-    # reduce grads to one scalar INSIDE the jit and float() it: through the
-    # remote-TPU tunnel, block_until_ready on a large pytree does not reliably
-    # fence execution — a host scalar fetch does
-    @jax.jit
-    def grad_fn(p, b, px):
-        g = jax.grad(lambda p: loss_fn(p, cfg, b, px, "flash")[0])(p)
-        return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(g))
-
-    def run():
-        return float(grad_fn(params, batch, pixels))
-
-    t0 = time.time(); run(); log(f"compile: {time.time()-t0:.1f}s")
-    run()
-    n_steps = int(os.environ.get("BENCH_STEPS", 5))
-    t0 = time.time()
-    for _ in range(n_steps):
-        run()
-    dt = (time.time() - t0) / n_steps
-    flops = train_step_flops(cfg, 2 * B)
-    peak = chip_peak_tflops()
-    mfu = flops / dt / (peak * 1e12) if peak else None
-
-    # ---- measured optimizer tail (per-parameter cost) -----------------
-    # measured on a 2-layer-slice state: the update is a pure per-leaf
-    # memory stream, so ps/param transfers to 8B exactly; the full L-layer
-    # slice + its grads + fp moments would not co-reside in 16GB HBM
     import optax
 
+    from metamorph_tpu.models.metamorph import init_metamorph_params
     from metamorph_tpu.train.optimizer import make_optimizer, trainable_mask
 
-    del batch, pixels
-    params = None  # free the slice (donated away below anyway)
     cfg_tail = _dc.replace(cfg, llama=_dc.replace(cfg.llama, num_layers=2))
     params = init_metamorph_params(jax.random.PRNGKey(1), cfg_tail,
                                    jnp.bfloat16)
@@ -643,6 +589,68 @@ def bench_8b_slice(cfg, size):
     per_param_s = tail_dt / n_tr
     log(f"adam tail: {tail_dt*1e3:.1f} ms for {n_tr/1e9:.2f}B trainable "
         f"({per_param_s*1e12:.2f} ps/param)")
+    del params, opt_state, grads
+    return tail_dt, per_param_s
+
+
+def bench_8b_slice(cfg, size):
+    """Direct 8B-geometry evidence on a small chip: the TRUE 8B layer shapes
+    (D=4096, F=14336, H=32/KV=8, Dh=128, V=128258, T=4096) with num_layers=4
+    so params+grads fit 16GB; measures fused-forward+backward MFU, PLUS the
+    real optimizer update (make_optimizer Adam + global-norm clip) timed at
+    slice state sizes so the 8B projection's tail term is measured, not
+    asserted. Projection is reported as a RANGE: the upper bound carries the
+    measured MFU to v5p unchanged; the lower bound applies a 15% MFU haircut
+    for the v5e->v5p carryover uncertainty. Both bounds include the measured
+    per-parameter optimizer cost scaled to 8B state on a v5p-8 (FSDP: 1/8 of
+    the state per chip, spec HBM-bandwidth ratio for the chip change)."""
+    import dataclasses as _dc
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.config import LlamaConfig, TrainConfig as TC
+    from metamorph_tpu.models.metamorph import init_metamorph_params
+    from metamorph_tpu.train.train_step import loss_fn
+
+    L = int(os.environ.get("BENCH_SLICE_LAYERS", 4))
+    B, T = int(os.environ.get("BENCH_BATCH", 1)), 4096
+    llama = LlamaConfig(num_layers=L)  # all other dims = 8B defaults
+    cfg = _dc.replace(cfg, llama=llama,
+                      train=TC(max_seq_len=T, batch_size=B,
+                               max_images_per_batch=2 * B, remat=True,
+                               remat_policy=os.environ.get(
+                                   "BENCH_REMAT", "dots_no_batch"),
+                               ce_chunk=int(os.environ.get("BENCH_CE_CHUNK",
+                                                           512))))
+    tail_dt, per_param_s = _measure_adam_tail(cfg, _dc)  # empty-HBM measurement
+    params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    log(f"8b-slice: layers={L} B={B} T={T} params={n_params/1e9:.2f}B")
+    batch, pixels = build_batch(cfg)
+
+    # reduce grads to one scalar INSIDE the jit and float() it: through the
+    # remote-TPU tunnel, block_until_ready on a large pytree does not reliably
+    # fence execution — a host scalar fetch does
+    @jax.jit
+    def grad_fn(p, b, px):
+        g = jax.grad(lambda p: loss_fn(p, cfg, b, px, "flash")[0])(p)
+        return sum(x.astype(jnp.float32).sum() for x in jax.tree.leaves(g))
+
+    def run():
+        return float(grad_fn(params, batch, pixels))
+
+    t0 = time.time(); run(); log(f"compile: {time.time()-t0:.1f}s")
+    run()
+    n_steps = int(os.environ.get("BENCH_STEPS", 5))
+    t0 = time.time()
+    for _ in range(n_steps):
+        run()
+    dt = (time.time() - t0) / n_steps
+    flops = train_step_flops(cfg, 2 * B)
+    peak = chip_peak_tflops()
+    mfu = flops / dt / (peak * 1e12) if peak else None
 
     # convert to full-32-layer 8B tokens/sec at this measured MFU, optimizer
     # tail included: v5p-8 FSDP shards the 8B state 8 ways; the per-param
