@@ -409,7 +409,7 @@ def bench_serve(cfg, size):
                           steps_per_sync=int(os.environ.get(
                               "BENCH_SERVE_SYNC", 16)),
                           fill_chunk=int(os.environ.get(
-                              "BENCH_SERVE_FILL", 256)))
+                              "BENCH_SERVE_FILL", 0)))
         for r in reqs:
             eng.submit(r)
         done = eng.run()
