@@ -158,85 +158,36 @@ def make_sharded_train_step(cfg: MetaMorphConfig, mesh: Mesh, params_template: A
                   out_shardings=(state_shardings, None))
 
     if opt_kind:
-        # Host-offloaded optimizer: TWO programs orchestrated by the host so
-        # the PCIe transfers overlap with compute instead of serializing
-        # (r2's single-program fetch measured MFU 0.232 vs 0.486 on-device):
-        #   1. the H2D fetch of the moments is DISPATCHED before the grad
-        #      program — the copy streams while fwd+bwd runs;
-        #   2. update_fn consumes device moments + grads;
-        #   3. the D2H write-back is dispatched async and completes while the
-        #      NEXT step's fwd+bwd runs.
-        # Capacity: HBM never holds opt-state and activations at the same
-        # time (moments arrive as activations are freed), which is what the
-        # reference's zero3_offload mode buys (`scripts/zero3_offload.json:28-45`).
+        # Host-offloaded optimizer: the moment fetch stays INSIDE the jitted
+        # step (device_put to device shardings; out_shardings stream the new
+        # moments back to pinned host). A two-program host-orchestrated
+        # variant (H2D fetch dispatched before the grad program, D2H
+        # write-back overlapping the next step) was tried in round 3 and
+        # measured 3x WORSE on this runtime (4.6k vs 13.3k tok/s at 600m):
+        # host-initiated transfers serialize over the remote-TPU tunnel
+        # instead of overlapping with compute. Offload is a CAPACITY mode —
+        # it fits models whose Adam moments don't — and trades throughput
+        # (measured MFU 0.23 vs 0.49 on-device at 600m); the reference's
+        # zero3_offload makes the same trade (`scripts/zero3_offload.json:28-45`).
         opt_dev_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), opt_specs,
                                   is_leaf=lambda x: isinstance(x, P))
-        params_sh = state_shardings["params"]
 
-        def _grads(params, batch, pixels):
-            if cfg.train.grad_accum_steps > 1:
-                def micro(carry, inp):
-                    grads_acc, metrics_acc = carry
-                    b, px = inp
-                    (_, metrics), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(params, cfg, b, px, attn_impl)
-                    return (jax.tree.map(jnp.add, grads_acc, grads),
-                            jax.tree.map(jnp.add, metrics_acc,
-                                         dict(metrics))), None
-
-                zero_g = jax.tree.map(jnp.zeros_like, params)
-                zero_m = jax.tree.map(jnp.float32, {
-                    "loss": 0.0, "loss_language": 0.0, "loss_image_ar": 0.0,
-                    "n_text_tokens": 0.0, "n_image_ar_tokens": 0.0})
-                n = jax.tree.leaves(batch)[0].shape[0]
-                (grads, metrics), _ = jax.lax.scan(
-                    micro, (zero_g, zero_m), (batch, pixels))
-                return (jax.tree.map(lambda g: g / n, grads),
-                        jax.tree.map(lambda m: m / n, metrics))
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, cfg, batch, pixels, attn_impl)
-            return grads, dict(metrics)
-
-        grad_fn = jax.jit(_grads,
-                          in_shardings=(params_sh, None, None),
-                          out_shardings=(params_sh, None))
-
-        def _update(params, opt_dev, grads, step):
-            updates, new_opt = tx.update(grads, opt_dev, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, step + 1, optax.global_norm(grads)
-
-        update_fn = jax.jit(
-            _update, donate_argnums=(0, 1, 2),
-            in_shardings=(params_sh, opt_dev_sh, params_sh,
-                          state_shardings["step"]),
-            out_shardings=(params_sh, opt_dev_sh, state_shardings["step"],
-                           NamedSharding(mesh, P())))
-
-        def step_fn(state, batch, pixels):
-            # dispatch the moment fetch FIRST; it overlaps with fwd+bwd
-            opt_dev = jax.device_put(state["opt_state"], opt_dev_sh)
-            grads, metrics = grad_fn(state["params"], batch, pixels)
-            new_params, new_opt_dev, step, gnorm = update_fn(
-                state["params"], opt_dev, grads, state["step"])
-            # async write-back; completes during the next step's compute
-            new_opt_host = jax.device_put(new_opt_dev,
-                                          state_shardings["opt_state"])
-            metrics = dict(metrics)
-            metrics["grad_norm"] = gnorm
-            return ({"params": new_params, "opt_state": new_opt_host,
-                     "step": step}, metrics)
-
-        return step_fn, tx, state_shardings, batch_shardings
+        def fetch_opt(state):
+            return {**state, "opt_state": jax.tree.map(
+                jax.device_put, state["opt_state"], opt_dev_sh)}
+    else:
+        def fetch_opt(state):
+            return state
 
     if cfg.train.grad_accum_steps > 1:
         # batch/pixels carry a leading microbatch axis (stacked by the caller)
         @functools.partial(jax.jit, **jit_kw)
         def step_fn(state, batches, pixels):
-            return accum_train_step(state, batches, pixels, cfg, tx, attn_impl)
+            return accum_train_step(fetch_opt(state), batches, pixels, cfg, tx,
+                                    attn_impl)
     else:
         @functools.partial(jax.jit, **jit_kw)
         def step_fn(state, batch, pixels):
-            return train_step(state, batch, pixels, cfg, tx, attn_impl)
+            return train_step(fetch_opt(state), batch, pixels, cfg, tx, attn_impl)
 
     return step_fn, tx, state_shardings, batch_shardings

@@ -56,10 +56,12 @@ def main(argv=None):
         envs = MATRIX[k]
         print(f"[bench_extra] {k} {envs} ...", file=sys.stderr, flush=True)
         env = dict(os.environ, **envs)
+        errlog = f"/tmp/bench_extra_{k}.log"   # live progress: tail -f this
         try:
-            r = subprocess.run([sys.executable, "bench.py"], env=env,
-                               capture_output=True, text=True, cwd=REPO,
-                               timeout=args.timeout)
+            with open(errlog, "w") as ef:
+                r = subprocess.run([sys.executable, "bench.py"], env=env,
+                                   stdout=subprocess.PIPE, stderr=ef,
+                                   text=True, cwd=REPO, timeout=args.timeout)
             line = None
             for l in reversed(r.stdout.strip().splitlines()):
                 try:
@@ -69,7 +71,7 @@ def main(argv=None):
                     continue
             results[k] = line or {
                 "error": f"rc={r.returncode}",
-                "stderr_tail": r.stderr.strip().splitlines()[-3:]}
+                "stderr_tail": open(errlog).read().strip().splitlines()[-3:]}
         except subprocess.TimeoutExpired:
             results[k] = {"error": "timeout"}
         with open(args.out, "w") as f:   # checkpoint after every mode

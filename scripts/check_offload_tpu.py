@@ -51,14 +51,16 @@ def make_batch(cfg):
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU chip"
     base, off = tiny_cfg(), tiny_cfg(offload_optimizer=True)
-    params = M.init_metamorph_params(jax.random.PRNGKey(3), base,
-                                     dtype=jnp.float32)
     batch, pixels = make_batch(base)
     mesh = build_mesh(MeshConfig(data=1, fsdp=1, tensor=1),
                       devices=jax.devices()[:1])
 
     results = {}
     for name, cfg in (("device", base), ("host", off)):
+        # re-init per run: the step donates its state, so the first run's
+        # params buffers are consumed (same PRNGKey -> identical values)
+        params = M.init_metamorph_params(jax.random.PRNGKey(3), base,
+                                         dtype=jnp.float32)
         step_fn, tx, state_sh, bs_fn = make_sharded_train_step(cfg, mesh, params)
         state = {"params": params,
                  "opt_state": jax.device_put(tx.init(params),
