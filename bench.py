@@ -392,13 +392,21 @@ def bench_serve(cfg, size):
     t0_max = int(os.environ.get("BENCH_SERVE_T0", 256))
     new_max = int(os.environ.get("BENCH_SERVE_NEW", 128))
     cache = int(os.environ.get("BENCH_SERVE_CACHE", 512))
+    # requests enter as TOKEN IDS (the realistic serving input): embedding
+    # lookup happens on device, so host->device traffic per prompt is KBs,
+    # not MBs. BENCH_SERVE_EMBEDS=1 measures the legacy pre-fused path.
+    use_embeds = bool(int(os.environ.get("BENCH_SERVE_EMBEDS", "0")))
     reqs = []
     for i in range(n_req):
         t0 = int(rng.integers(t0_max // 5, t0_max))
         budget = int(rng.integers(new_max // 4, new_max))
-        ids = jnp.asarray(rng.integers(10, 100000, (1, t0)).astype(np.int32))
-        pe = np.asarray(L.embed_tokens(params["llama"], ids)[0])
-        reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget, uid=i))
+        ids = rng.integers(10, 100000, (t0,)).astype(np.int32)
+        if use_embeds:
+            pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0])
+            reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget,
+                                uid=i))
+        else:
+            reqs.append(Request(prompt_ids=ids, max_new_tokens=budget, uid=i))
 
     def run():
         buckets = tuple(b for b in (64, 128, 256, 512, 1024, 2048)
@@ -422,7 +430,7 @@ def bench_serve(cfg, size):
     total = run()
     dt = time.time() - t0
     tok_s = total / dt
-    mean_T = int(np.mean([r.prompt_embeds.shape[0] + r.max_new_tokens / 2
+    mean_T = int(np.mean([r.prompt_len + r.max_new_tokens / 2
                           for r in reqs]))
     ref_tok_s = reference_recompute_tok_s(params, cfg, mean_T)
     print(json.dumps({

@@ -28,12 +28,15 @@ from metamorph_tpu.constants import (DEFAULT_IM_END_TOKEN,
 
 
 def fuse_request(params, cfg, tokenize, bos_token_id, prompt_text: str,
-                 frames: List[np.ndarray], bucket: int) -> np.ndarray:
-    """Build one request's fused prompt embeddings [t0, D] (images spliced)."""
+                 frames: List[np.ndarray], bucket: int) -> dict:
+    """Build one request's admission payload. Text-only prompts ship as token
+    ids (embedding lookup happens on device inside the engine — KBs across
+    the host link instead of MBs); image prompts go through the host-side
+    packer/fusion path (whose truncation/splice quirks match the reference)
+    and ship pre-fused embeddings."""
     import jax.numpy as jnp
 
     from metamorph_tpu.inference.demo import build_prompt
-    from metamorph_tpu.models import llama as llama_lib
     from metamorph_tpu.models import metamorph as mm_lib
     from metamorph_tpu.multimodal.mm_utils import (siglip_preprocess,
                                                    tokenizer_image_token)
@@ -44,17 +47,14 @@ def fuse_request(params, cfg, tokenize, bos_token_id, prompt_text: str,
     K = cfg.mm.num_image_tokens
     t0 = len(ids) + (K - 1) * sum(1 for i in ids if i == -200)
     if not frames:
-        # text-only
-        emb = llama_lib.embed_tokens(params["llama"],
-                                     jnp.asarray([ids], jnp.int32))
-        return np.asarray(emb[0])
+        return {"prompt_ids": np.asarray(ids, np.int32)}
     packed = pack_sequences([ids], None, K, max(bucket, t0), len(frames))
     batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
     pixels = jnp.asarray(np.stack([
         siglip_preprocess(f, cfg.siglip.image_size) for f in frames]))
     projected, _ = mm_lib.encode_images(params, cfg, pixels)
     embeds = mm_lib.fuse_embeddings(params, cfg, batch, projected)
-    return np.asarray(embeds[0, :t0])
+    return {"prompt_embeds": np.asarray(embeds[0, :t0])}
 
 
 def main(argv=None):
@@ -104,12 +104,12 @@ def main(argv=None):
     submit_order = {}
     for i, row in enumerate(rows):
         frames = load_frames(row["image"]) if row.get("image") else []
-        pe = fuse_request(params, cfg, lambda s: tok(s).input_ids,
-                          tok.bos_token_id, row["prompt"], frames,
-                          bucket=eng.prefill_buckets[0])
+        payload = fuse_request(params, cfg, lambda s: tok(s).input_ids,
+                               tok.bos_token_id, row["prompt"], frames,
+                               bucket=eng.prefill_buckets[0])
         uid = row.get("uid", i)
         submit_order[uid] = i
-        eng.submit(Request(prompt_embeds=pe,
+        eng.submit(Request(**payload,
                            max_new_tokens=row.get("max_new_tokens",
                                                   args.max_new_tokens),
                            uid=uid))

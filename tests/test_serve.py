@@ -173,6 +173,128 @@ def test_chunked_fill_high_churn_stream(params):
         assert c.image_embeds.shape[0] == ref_emb.shape[0]
 
 
+def test_ids_path_matches_embeds_path(params):
+    """Admission by token ids (embedding lookup on device) produces exactly
+    the tokens of the pre-fused-embeddings path — the two transports must be
+    numerically identical, only the host->device traffic differs."""
+    rng = np.random.default_rng(5)
+    ids_list = [rng.integers(10, 1000, (t0,)).astype(np.int32)
+                for t0 in (6, 9, 4)]
+
+    def run(as_ids):
+        eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                          max_new_tokens_cap=16, max_images=2,
+                          prefill_buckets=(8, 16), steps_per_sync=3)
+        for i, ids in enumerate(ids_list):
+            if as_ids:
+                eng.submit(Request(prompt_ids=ids, max_new_tokens=8, uid=i))
+            else:
+                pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0])
+                eng.submit(Request(prompt_embeds=pe, max_new_tokens=8, uid=i))
+        return {c.uid: c for c in eng.run()}
+
+    a, b = run(True), run(False)
+    assert sorted(a) == sorted(b) == [0, 1, 2]
+    for uid in a:
+        np.testing.assert_array_equal(a[uid].ids, b[uid].ids)
+        np.testing.assert_allclose(a[uid].image_embeds, b[uid].image_embeds,
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_ids_path_image_splice_matches_host_fusion(params):
+    """A multimodal ids request (image tokens spliced ON DEVICE by
+    _embed_splice) decodes identically to the same prompt pre-fused
+    host-side."""
+    K = CFG.mm.num_image_tokens
+    D = CFG.llama.hidden_size
+    rng = np.random.default_rng(9)
+    ids = rng.integers(10, 1000, (11,)).astype(np.int32)
+    pos = 3
+    img = rng.normal(size=(1, K, D)).astype(np.float32) * 0.02
+
+    # host fusion: overwrite K rows of the embedded prompt
+    pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0]).copy()
+    pe[pos:pos + K] = img[0]
+
+    def run(req):
+        eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                          max_new_tokens_cap=16, max_images=2,
+                          prefill_buckets=(16,), steps_per_sync=2)
+        eng.submit(req)
+        return eng.run()[0]
+
+    a = run(Request(prompt_ids=ids, image_embeds=img,
+                    image_positions=np.asarray([pos]), max_new_tokens=8,
+                    uid="ids"))
+    b = run(Request(prompt_embeds=pe, max_new_tokens=8, uid="pe"))
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.image_embeds, b.image_embeds,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_chunked_fill_ids_matches_blocking(params):
+    """Chunked fill driven by token ids (+ an image crossing a chunk
+    boundary) == the blocking ids admission == host-fused decode."""
+    K = CFG.mm.num_image_tokens      # 3
+    D = CFG.llama.hidden_size
+    rng = np.random.default_rng(13)
+    ids = rng.integers(10, 1000, (14,)).astype(np.int32)
+    pos = 3                          # image spans positions 3..5; chunk=4
+    img = rng.normal(size=(1, K, D)).astype(np.float32) * 0.02
+
+    def mk():
+        return Request(prompt_ids=ids.copy(), image_embeds=img.copy(),
+                       image_positions=np.asarray([pos]), max_new_tokens=9,
+                       uid="x")
+
+    # blocking path
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(16,), steps_per_sync=2)
+    eng.submit(mk())
+    ref = eng.run()[0]
+
+    # chunked-fill path: another request decodes while "x" streams in
+    warm = _prompts(params, [5], seed=2)[0]
+    eng2 = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                       max_new_tokens_cap=16, max_images=2,
+                       prefill_buckets=(16,), steps_per_sync=2, fill_chunk=4)
+    eng2.submit(Request(prompt_embeds=warm, max_new_tokens=12, uid="warm"))
+    eng2.step()
+    eng2.submit(mk())
+    eng2.step()
+    assert eng2._fill is not None or eng2.slot_uid.count(None) == 0
+    done = {c.uid: c for c in eng2.run()}
+    np.testing.assert_array_equal(done["x"].ids, ref.ids)
+    np.testing.assert_allclose(done["x"].image_embeds, ref.image_embeds,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serve_submit_validation_ids(params):
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=32,
+                      max_new_tokens_cap=8, max_images=1,
+                      prefill_buckets=(8,), max_prefill_images=1)
+    K, D = CFG.mm.num_image_tokens, CFG.llama.hidden_size
+    ids = np.arange(10, 16, dtype=np.int32)
+    with pytest.raises(ValueError):   # both transports set
+        eng.submit(Request(prompt_ids=ids,
+                           prompt_embeds=np.zeros((6, D), np.float32)))
+    with pytest.raises(ValueError):   # neither set
+        eng.submit(Request())
+    with pytest.raises(ValueError):   # too many images
+        eng.submit(Request(prompt_ids=ids,
+                           image_embeds=np.zeros((2, K, D), np.float32),
+                           image_positions=np.asarray([0, 3])))
+    with pytest.raises(ValueError):   # bad image shape
+        eng.submit(Request(prompt_ids=ids,
+                           image_embeds=np.zeros((1, K + 1, D), np.float32),
+                           image_positions=np.asarray([0])))
+    with pytest.raises(ValueError):   # images on the embeds path
+        eng.submit(Request(prompt_embeds=np.zeros((6, D), np.float32),
+                           image_embeds=np.zeros((1, K, D), np.float32),
+                           image_positions=np.asarray([0])))
+
+
 def test_serve_latency_metrics(params):
     eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
                       max_new_tokens_cap=16, max_images=1,
