@@ -75,6 +75,13 @@ def main(argv=None):
                         "(0 disables; must divide --max-cache-len)")
     p.add_argument("--steps-per-sync", type=int, default=8,
                    help="decode steps per scheduler sync")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="default sampling temperature (0 = greedy; rows may "
+                        "override with a 'temperature' field)")
+    p.add_argument("--top-p", type=float, default=1.0,
+                   help="default nucleus mass (rows may override)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="engine sampling seed")
     args = p.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -99,7 +106,8 @@ def main(argv=None):
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens,
                       fill_chunk=args.fill_chunk,
-                      steps_per_sync=args.steps_per_sync)
+                      steps_per_sync=args.steps_per_sync,
+                      seed=args.seed)
     rows = [json.loads(l) for l in open(args.requests) if l.strip()]
     submit_order = {}
     for i, row in enumerate(rows):
@@ -112,6 +120,9 @@ def main(argv=None):
         eng.submit(Request(**payload,
                            max_new_tokens=row.get("max_new_tokens",
                                                   args.max_new_tokens),
+                           temperature=row.get("temperature",
+                                               args.temperature),
+                           top_p=row.get("top_p", args.top_p),
                            uid=uid))
 
     done = eng.run()

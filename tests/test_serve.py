@@ -307,3 +307,81 @@ def test_serve_latency_metrics(params):
     assert a.serve_s > 0 and b.serve_s > 0
     # "b" waited for "a" to finish in the single slot
     assert b.queue_s > a.queue_s
+
+
+def test_sample_rows_per_row_params():
+    """Vectorized sampler unit behaviors: a tiny nucleus collapses to argmax
+    regardless of temperature; a peaked distribution always returns its mode;
+    every draw lands inside the top-k window."""
+    from metamorph_tpu.inference.serve import _sample_rows
+
+    rng = jax.random.PRNGKey(0)
+    V = 300
+    logits = np.zeros((3, V), np.float32)
+    logits[0, 17] = 5.0                      # row 0: clear argmax
+    logits[1, 42] = 50.0                     # row 1: overwhelming mode
+    logits[2] = np.linspace(0, 3, V)         # row 2: flat-ish tail
+    temp = jnp.asarray([4.0, 1.0, 1.0], jnp.float32)
+    top_p = jnp.asarray([1e-6, 1.0, 0.5], jnp.float32)
+    for i in range(20):
+        tok = np.asarray(_sample_rows(jax.random.fold_in(rng, i),
+                                      jnp.asarray(logits), temp, top_p))
+        assert tok[0] == 17                  # nucleus keeps only the top-1
+        assert tok[1] == 42                  # mode dominates
+        assert tok[2] >= V - 64              # inside the top-k window
+
+
+def test_serve_sampling_tiny_nucleus_equals_greedy(params):
+    """temperature>0 with top_p→0 keeps exactly the top-1 token: the sampled
+    stream must be bitwise the greedy stream (exercises the sampling=True
+    compiled graphs end to end)."""
+    p = _prompts(params, [6], seed=31)[0]
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(8,), steps_per_sync=2)
+    eng.submit(Request(prompt_embeds=p, max_new_tokens=8, uid="s",
+                       temperature=3.0, top_p=1e-6))
+    assert eng._sampling
+    out = eng.run()[0]
+    ref_ids, _ = _reference(params, p, 8)
+    np.testing.assert_array_equal(out.ids, ref_ids)
+
+
+def test_serve_sampling_deterministic_and_mixed(params):
+    """Same engine seed -> identical sampled stream; a greedy request served
+    NEXT TO a sampling request still decodes its exact greedy tokens (temp=0
+    rows select argmax inside the sampling graph)."""
+    prompts = _prompts(params, [6, 9], seed=37)
+
+    def run(seed):
+        eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                          max_new_tokens_cap=16, max_images=2,
+                          prefill_buckets=(8, 16), steps_per_sync=2,
+                          seed=seed)
+        eng.submit(Request(prompt_embeds=prompts[0], max_new_tokens=10,
+                           uid="sample", temperature=0.8, top_p=0.95))
+        eng.submit(Request(prompt_embeds=prompts[1], max_new_tokens=7,
+                           uid="greedy"))
+        return {c.uid: c for c in eng.run()}
+
+    a, b = run(0), run(0)
+    np.testing.assert_array_equal(a["sample"].ids, b["sample"].ids)
+    ref_ids, _ = _reference(params, prompts[1], 7)
+    np.testing.assert_array_equal(a["greedy"].ids, ref_ids)
+    np.testing.assert_array_equal(b["greedy"].ids, ref_ids)
+
+
+def test_serve_sampling_validation(params):
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=32,
+                      max_new_tokens_cap=8, max_images=1,
+                      prefill_buckets=(8,))
+    D = CFG.llama.hidden_size
+    pe = np.zeros((4, D), np.float32)
+    with pytest.raises(ValueError):
+        eng.submit(Request(prompt_embeds=pe, temperature=-0.1,
+                           max_new_tokens=4))
+    with pytest.raises(ValueError):
+        eng.submit(Request(prompt_embeds=pe, top_p=0.0, max_new_tokens=4))
+    with pytest.raises(ValueError):
+        eng.submit(Request(prompt_embeds=pe, top_p=1.5, max_new_tokens=4))
+    assert not eng._sampling
