@@ -385,3 +385,50 @@ def test_serve_sampling_validation(params):
     with pytest.raises(ValueError):
         eng.submit(Request(prompt_embeds=pe, top_p=1.5, max_new_tokens=4))
     assert not eng._sampling
+
+
+def test_serve_streaming_tokens(params):
+    """on_token streams each row's newly recorded ids per sync chunk, riding
+    the existing packed snapshot: per-uid concatenation must equal the final
+    Completed.ids, delivered across multiple callbacks (not one blob), and
+    slot reuse must not leak one request's tokens into the next."""
+    import collections
+    chunks = collections.defaultdict(list)
+
+    prompts = _prompts(params, [6, 9, 4], seed=41)
+    budgets = [12, 7, 10]
+    eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(8, 16), steps_per_sync=2,
+                      on_token=lambda uid, ids: chunks[uid].append(ids))
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        eng.submit(Request(prompt_embeds=p, max_new_tokens=b, uid=i))
+    done = {c.uid: c for c in eng.run()}
+
+    assert sorted(chunks) == [0, 1, 2]
+    for uid, c in done.items():
+        streamed = np.concatenate(chunks[uid]) if chunks[uid] else np.array([])
+        np.testing.assert_array_equal(streamed, c.ids)
+    # 12 tokens at 2 steps/sync cannot arrive in one callback
+    assert max(len(chunks[uid]) for uid in chunks) > 1
+
+
+def test_serve_streaming_with_chunked_fill(params):
+    """Streaming stays correct while a long prompt streams in through the
+    chunked-fill path: the decoding slot keeps streaming, the filling slot
+    emits nothing until admitted, and both match their final ids."""
+    import collections
+    chunks = collections.defaultdict(list)
+
+    prompts = _prompts(params, [5, 13], seed=43)
+    eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(8, 16), steps_per_sync=2, fill_chunk=4,
+                      on_token=lambda uid, ids: chunks[uid].append(ids))
+    eng.submit(Request(prompt_embeds=prompts[0], max_new_tokens=12, uid="a"))
+    eng.step()
+    eng.submit(Request(prompt_embeds=prompts[1], max_new_tokens=9, uid="b"))
+    done = {c.uid: c for c in eng.run()}
+    for uid in ("a", "b"):
+        streamed = np.concatenate(chunks[uid]) if chunks[uid] else np.array([])
+        np.testing.assert_array_equal(streamed, done[uid].ids)
