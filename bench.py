@@ -211,6 +211,7 @@ def bench_decode(cfg, size):
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     quant = bool(int(os.environ.get("BENCH_DECODE_QUANT", "0")))
+    kv_int8 = bool(int(os.environ.get("BENCH_KV_INT8", "0")))
     if quant:
         from metamorph_tpu.ops.quant import quantize_llama_decode
 
@@ -238,10 +239,11 @@ def bench_decode(cfg, size):
             mask = jnp.ones((B, T0), jnp.int32)
             out = batched_greedy_decode(params, cfg, p, mask,
                                         max_new_tokens=new, max_images=1,
-                                        attn_impl=attn)
+                                        attn_impl=attn, kv_int8=kv_int8)
         else:
             out = greedy_decode(params, cfg, p, max_new_tokens=new,
-                                max_images=1, attn_impl=attn)
+                                max_images=1, attn_impl=attn,
+                                kv_int8=kv_int8)
         jax.block_until_ready(out["ids"])
         return out
 
@@ -266,6 +268,7 @@ def bench_decode(cfg, size):
     ref_tok_s = reference_recompute_tok_s(params, cfg, T0 + NEW // 2)
     label = f"greedy decode new tokens/sec ({size} LLM, KV cache" + (
         ", int8 weights" if quant else "") + (
+        ", int8 KV" if kv_int8 else "") + (
         f", batch={B}, T0={T0})" if B > 1 else f", T0={T0})")
     print(json.dumps({
         "metric": label + f"; prefill (TTFT) reported separately; "
@@ -381,6 +384,7 @@ def bench_serve(cfg, size):
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    kv_int8 = bool(int(os.environ.get("BENCH_KV_INT8", "0")))
     if bool(int(os.environ.get("BENCH_SERVE_QUANT", "0"))):
         from metamorph_tpu.ops.quant import quantize_llama_decode
 
@@ -417,7 +421,8 @@ def bench_serve(cfg, size):
                           steps_per_sync=int(os.environ.get(
                               "BENCH_SERVE_SYNC", 16)),
                           fill_chunk=int(os.environ.get(
-                              "BENCH_SERVE_FILL", 0)))
+                              "BENCH_SERVE_FILL", 0)),
+                          kv_int8=kv_int8)
         for r in reqs:
             eng.submit(r)
         done = eng.run()

@@ -144,7 +144,8 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
                                              "max_cache_len", "stop_ids",
                                              "do_sample", "temperature", "top_p",
-                                             "prefill_attn_impl", "attn_impl"))
+                                             "prefill_attn_impl", "attn_impl",
+                                             "kv_int8"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -164,6 +165,8 @@ def greedy_decode(
                                      # kernel's right-padded-lengths contract)
     attn_impl: str = "xla",          # per-step cache attention: "pallas" = the
                                      # decode kernel (ops/decode_attention.py)
+    kv_int8: bool = False,           # int8 KV cache (half the cache's HBM
+                                     # traffic; ops/quant.quantize_kv scheme)
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -174,7 +177,8 @@ def greedy_decode(
     cache_len_total = max_cache_len or (T0 + max_new_tokens + 8)
 
     dtype = prompt_embeds.dtype
-    cache = llama_lib.init_kv_cache(cfg.llama, 1, cache_len_total, dtype=dtype)
+    cache = llama_lib.init_kv_cache(cfg.llama, 1, cache_len_total, dtype=dtype,
+                                    quantized=kv_int8)
     pos = jnp.arange(T0, dtype=jnp.int32)[None]
     h_all, cache = llama_lib.prefill(
         params["llama"], cfg.llama, prompt_embeds, pos,
@@ -299,7 +303,8 @@ def _advance_batched(params, cfg: MetaMorphConfig, state: BatchedDecodeState,
 @functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "max_images",
                                              "max_cache_len", "stop_ids",
                                              "do_sample", "temperature", "top_p",
-                                             "attn_impl", "prefill_attn_impl"))
+                                             "attn_impl", "prefill_attn_impl",
+                                             "kv_int8"))
 def _batched_greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -317,6 +322,7 @@ def _batched_greedy_decode(
     prefill_attn_impl: str = "xla",  # "flash" ONLY for right-padded/full
                                      # prompts (the kernel's length masking
                                      # assumes right padding)
+    kv_int8: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """B>1 multimodal greedy decode (serving path). Prompts must be
     LEFT-padded (pack_sequences padding_side='left') so every row writes the
@@ -331,7 +337,8 @@ def _batched_greedy_decode(
     S = max_cache_len or (T0 + max_new_tokens + 8)
 
     dtype = prompt_embeds.dtype
-    cache = llama_lib.init_kv_cache(cfg.llama, B, S, dtype=dtype)
+    cache = llama_lib.init_kv_cache(cfg.llama, B, S, dtype=dtype,
+                                    quantized=kv_int8)
     # left-pad positions: real token i of a row gets position i
     pos = (jnp.cumsum(prompt_mask, axis=1) - 1) * prompt_mask
     h_all, cache = llama_lib.prefill(

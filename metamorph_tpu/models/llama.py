@@ -240,11 +240,22 @@ def lm_head(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarra
 # KV-cache decode
 # ---------------------------------------------------------------------------
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+                  quantized: bool = False):
     """Decode cache, [L, B, KV, S, Dh]: each (row, kv head) owns a contiguous
-    [S, Dh] slab — the layout the Pallas decode-attention kernel streams."""
+    [S, Dh] slab — the layout the Pallas decode-attention kernel streams.
+
+    quantized=True stores int8 entries + per-(token, kv head) fp32 scales
+    ([L, B, KV, S]) — halves the cache's HBM traffic, which dominates batched
+    decode once S is large. Downstream code detects the mode by the presence
+    of "k_scale" (`ops/quant.quantize_kv` is the write-side transform)."""
     L, KV, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     shape = (L, batch, KV, max_len, Dh)
+    if quantized:
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+                "v_scale": jnp.zeros(shape[:-1], jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -258,6 +269,20 @@ def prefill(params, cfg: LlamaConfig, inputs_embeds, positions, attn_mask,
     # ks/vs: [L, B, T, KV, Dh] -> cache layout [L, B, KV, T, Dh]
     ks = ks.transpose(0, 1, 3, 2, 4)
     vs = vs.transpose(0, 1, 3, 2, 4)
+    if "k_scale" in cache:                         # int8 KV cache
+        from metamorph_tpu.ops.quant import quantize_kv
+
+        kq, k_sc = quantize_kv(ks)
+        vq, v_sc = quantize_kv(vs)
+        cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], kq, 0, axis=3),
+            "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], vq, 0, axis=3),
+            "k_scale": jax.lax.dynamic_update_slice_in_dim(
+                cache["k_scale"], k_sc, 0, axis=3),
+            "v_scale": jax.lax.dynamic_update_slice_in_dim(
+                cache["v_scale"], v_sc, 0, axis=3),
+        }
+        return hidden, cache
     cache = {
         "k": jax.lax.dynamic_update_slice_in_dim(cache["k"], ks.astype(cache["k"].dtype), 0, axis=3),
         "v": jax.lax.dynamic_update_slice_in_dim(cache["v"], vs.astype(cache["v"].dtype), 0, axis=3),
@@ -288,6 +313,11 @@ def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = rope_tables(cfg, pos)
     ck_all, cv_all = cache["k"], cache["v"]        # [L, B, KV, S, Dh]
+    quant = "k_scale" in cache                     # int8 KV cache
+    cks_all = cache.get("k_scale")                 # [L, B, KV, S] fp32
+    cvs_all = cache.get("v_scale")
+    if quant:
+        from metamorph_tpu.ops.quant import quantize_kv
     ragged = getattr(cache_idx, "ndim", 0) == 1
     if ragged:
         lengths = (cache_idx + 1).astype(jnp.int32)
@@ -304,8 +334,12 @@ def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
         v = _lora_dense(attn_p, "wv", h, cfg).reshape(B, 1, KV, Dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k1 = k[:, 0].astype(ck_all.dtype)          # [B, KV, Dh]
-        v1 = v[:, 0].astype(cv_all.dtype)
+        if quant:
+            k1, k1_sc = quantize_kv(k[:, 0])       # [B, KV, Dh] i8 / [B, KV]
+            v1, v1_sc = quantize_kv(v[:, 0])
+        else:
+            k1 = k[:, 0].astype(ck_all.dtype)      # [B, KV, Dh]
+            v1 = v[:, 0].astype(cv_all.dtype)
         if ragged:
             # per-row dynamic_update_slice, NOT a vector-index scatter: XLA
             # updates a DUS chain in place even when the result feeds the
@@ -319,24 +353,42 @@ def decode_step(params, cfg: LlamaConfig, x: jnp.ndarray, pos: jnp.ndarray,
                 cv_all = jax.lax.dynamic_update_slice(
                     cv_all, v1[b].reshape(1, 1, KV, 1, Dh),
                     (l, b, 0, cache_idx[b], 0))
+                if quant:
+                    cks_all = jax.lax.dynamic_update_slice(
+                        cks_all, k1_sc[b].reshape(1, 1, KV, 1),
+                        (l, b, 0, cache_idx[b]))
+                    cvs_all = jax.lax.dynamic_update_slice(
+                        cvs_all, v1_sc[b].reshape(1, 1, KV, 1),
+                        (l, b, 0, cache_idx[b]))
         else:
             ck_all = jax.lax.dynamic_update_slice(
                 ck_all, k1[None, :, :, None, :], (l, 0, 0, cache_idx, 0))
             cv_all = jax.lax.dynamic_update_slice(
                 cv_all, v1[None, :, :, None, :], (l, 0, 0, cache_idx, 0))
+            if quant:
+                cks_all = jax.lax.dynamic_update_slice(
+                    cks_all, k1_sc[None, :, :, None], (l, 0, 0, cache_idx))
+                cvs_all = jax.lax.dynamic_update_slice(
+                    cvs_all, v1_sc[None, :, :, None], (l, 0, 0, cache_idx))
         if attn_impl == "pallas":
             # hand the kernel the whole stacked cache + a static layer offset
             # (a sliced operand would force an [B,KV,S,Dh] copy per layer)
             out = attn_fn(q[:, 0], ck_all, cv_all, lengths, starts=starts,
-                          layer=l)
+                          layer=l, k_scale=cks_all, v_scale=cvs_all)
         else:
-            out = attn_fn(q[:, 0], ck_all[l], cv_all[l], lengths, starts=starts)
+            out = attn_fn(q[:, 0], ck_all[l], cv_all[l], lengths,
+                          starts=starts,
+                          k_scale=cks_all[l] if quant else None,
+                          v_scale=cvs_all[l] if quant else None)
         x = x + _lora_dense(attn_p, "wo", out.reshape(B, 1, H * Dh), cfg)
         h2 = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
         x = x + _mlp_block(mlp_p, h2, cfg)
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    return x, {"k": ck_all, "v": cv_all}
+    out_cache = {"k": ck_all, "v": cv_all}
+    if quant:
+        out_cache["k_scale"], out_cache["v_scale"] = cks_all, cvs_all
+    return x, out_cache
 
 
 def _chunk_attention(q, ks, vs, chunk_pos, scale):
@@ -381,6 +433,10 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
     from metamorph_tpu.ops.decode_attention import (decode_attention,
                                                     decode_attention_xla)
 
+    if "k_scale" in cache:
+        raise NotImplementedError(
+            "chunked prefill does not support the int8 KV cache yet — "
+            "use blocking prefill (fill_chunk=0) with kv_int8")
     B = x.shape[0]
     C = chunk.shape[0]
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim

@@ -54,9 +54,14 @@ def _cdiv(a, b):
 def _decode_kernel(starts_ref, lengths_ref,       # scalar prefetch [B]
                    q_ref,                         # [1, KV, G, Dh]
                    k_ref, v_ref,                  # [(1,) 1, KV, BS, Dh]
-                   o_ref,                         # [1, KV, G, Dh]
-                   acc, m_i, l_i,                 # scratch [KV*G, *] fp32
-                   *, scale, block_s, n_s, kv_heads, group):
+                   *rest,                         # (+[(1,) 1, KV, BS] scales
+                                                  #   when quantized), o_ref,
+                                                  #   acc, m_i, l_i scratch
+                   scale, block_s, n_s, kv_heads, group, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc, m_i, l_i = rest
+    else:
+        o_ref, acc, m_i, l_i = rest
     b, j = pl.program_id(0), pl.program_id(1)
 
     @pl.when(j == 0)
@@ -77,6 +82,12 @@ def _decode_kernel(starts_ref, lengths_ref,       # scalar prefetch [B]
         kb = k_ref[...].reshape(kv_heads, block_s, -1)
         vb = v_ref[...].reshape(kv_heads, block_s, -1)
         qb = q_ref[...].reshape(kv_heads, group, -1)
+        if quantized:
+            # int8 cache: dequant via the per-key-token scales, applied to the
+            # [G, BS]-shaped score/probability planes (cheaper than scaling
+            # the [BS, Dh] slabs) — HBM only ever moved int8
+            ksb = ks_ref[...].reshape(kv_heads, block_s)
+            vsb = vs_ref[...].reshape(kv_heads, block_s)
         col = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (group, block_s), 1)
         mask = jnp.logical_and(col >= start, col < length)
@@ -85,6 +96,8 @@ def _decode_kernel(starts_ref, lengths_ref,       # scalar prefetch [B]
             k = kb[h].astype(jnp.float32)              # [BS, Dh]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32) * scale
+            if quantized:
+                s = s * ksb[h][None, :]
             s = jnp.where(mask, s, NEG_INF)
             rows = slice(h * group, (h + 1) * group)
             m_prev = m_i[rows, :1]
@@ -93,6 +106,8 @@ def _decode_kernel(starts_ref, lengths_ref,       # scalar prefetch [B]
             alpha = jnp.exp(m_prev - m_new)
             l_new = alpha * l_i[rows, :1] + jnp.sum(p, axis=1, keepdims=True)
             v = vb[h].astype(jnp.float32)              # [BS, Dh]
+            if quantized:
+                p = p * vsb[h][None, :]                # fold v's dequant in
             acc[rows, :] = acc[rows, :] * alpha + jax.lax.dot_general(
                 p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -116,6 +131,8 @@ def decode_attention(
     block_s: int = 1024,
     scale: Optional[float] = None,
     layer: Optional[int] = None,
+    k_scale: Optional[jnp.ndarray] = None,  # [(L,) B, KV, S] fp32: int8 cache
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Streaming-softmax attention of one query token per row over its valid
     cache window. Returns [B, H, Dh] in q.dtype.
@@ -123,10 +140,15 @@ def decode_attention(
     Pass the FULL stacked cache [L, B, KV, S, Dh] plus a static `layer` when
     calling from an unrolled layer loop: the layer offset lives in the
     kernel's index_map, so XLA hands the kernel the whole (donated) cache
-    buffer instead of materializing an [B, KV, S, Dh] slice copy per layer."""
+    buffer instead of materializing an [B, KV, S, Dh] slice copy per layer.
+
+    With k_scale/v_scale the cache is int8 (per-token-per-head scales,
+    `llama.init_kv_cache(quantized=True)`): the kernel streams int8 blocks —
+    half the HBM traffic — and dequantizes on the score/probability planes."""
     B, H, Dh = q.shape
     stacked = k.ndim == 5
     assert stacked == (layer is not None), "layer goes with a stacked cache"
+    quantized = k_scale is not None
     KV, S = k.shape[-3], k.shape[-2]
     G = H // KV
     scale = scale if scale is not None else Dh ** -0.5
@@ -146,19 +168,32 @@ def decode_attention(
             return (layer, b, 0, j, 0)
         return (b, 0, j, 0)
 
+    def sc_index(b, j, starts, lengths):
+        if stacked:
+            return (layer, b, 0, j)
+        return (b, 0, j)
+
     kv_block = ((1, 1, KV, block_s, Dh) if stacked else (1, KV, block_s, Dh))
+    sc_block = ((1, 1, KV, block_s) if stacked else (1, KV, block_s))
+    in_specs = [
+        pl.BlockSpec((1, KV, G, Dh), lambda b, j, *_: (b, 0, 0, 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
+    ]
+    operands = [qg, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec(sc_block, sc_index),
+                     pl.BlockSpec(sc_block, sc_index)]
+        operands += [k_scale, v_scale]
     kernel = functools.partial(_decode_kernel, scale=scale, block_s=block_s,
-                               n_s=n_s, kv_heads=KV, group=G)
+                               n_s=n_s, kv_heads=KV, group=G,
+                               quantized=quantized)
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, n_s),
-            in_specs=[
-                pl.BlockSpec((1, KV, G, Dh), lambda b, j, *_: (b, 0, 0, 0)),
-                pl.BlockSpec(kv_block, kv_index),
-                pl.BlockSpec(kv_block, kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, KV, G, Dh),
                                    lambda b, j, *_: (b, 0, 0, 0)),
             scratch_shapes=[
@@ -171,7 +206,7 @@ def decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(starts.astype(jnp.int32), lengths.astype(jnp.int32), qg, k, v)
+    )(starts.astype(jnp.int32), lengths.astype(jnp.int32), *operands)
     return o.reshape(B, H, Dh)
 
 
@@ -281,18 +316,25 @@ def chunk_attention(
 
 def decode_attention_xla(
     q: jnp.ndarray,        # [B, H, Dh]
-    k: jnp.ndarray,        # [B, KV, S, Dh]
+    k: jnp.ndarray,        # [B, KV, S, Dh] — bf16, or int8 with k_scale
     v: jnp.ndarray,
     lengths: jnp.ndarray,  # [B]
     starts: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # [B, KV, S] fp32 (int8 cache)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA reference with identical semantics (used on CPU / for parity tests);
-    grouped einsum — the repeated K/V heads are never materialized."""
+    grouped einsum — the repeated K/V heads are never materialized. With an
+    int8 cache the dequant (convert * per-token scale) fuses into the dot's
+    operand read, so HBM still only moves int8."""
     B, H, Dh = q.shape
     KV, S = k.shape[1], k.shape[2]
     G = H // KV
     scale = scale if scale is not None else Dh ** -0.5
+    if k_scale is not None:
+        k = k.astype(jnp.float32) * k_scale[..., None]
+        v = v.astype(jnp.float32) * v_scale[..., None]
     qg = q.reshape(B, KV, G, Dh).astype(jnp.float32)
     s = jnp.einsum("bkgd,bksd->bkgs", qg, k.astype(jnp.float32),
                    preferred_element_type=jnp.float32) * scale

@@ -52,6 +52,19 @@ def quantized_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def quantize_kv(x: jnp.ndarray) -> tuple:
+    """Symmetric per-vector int8 for KV-cache entries: x [..., Dh] ->
+    (int8 [..., Dh], scale fp32 [...]) with x ≈ int8 * scale[..., None].
+    One scale per (token, kv head) — the granularity a decode-step write
+    produces, and fine enough that attention cosine stays >0.999 (certified
+    in tests/test_kv_quant.py)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
+
 _DECODE_QUANT_NAMES = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 

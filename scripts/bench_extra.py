@@ -22,9 +22,20 @@ MATRIX = {
                          "BENCH_DECODE_T0": "3968"},
     "decode_int8_b8_4k": {"BENCH_MODE": "decode", "BENCH_DECODE_QUANT": "1",
                           "BENCH_DECODE_BATCH": "8", "BENCH_DECODE_T0": "3968"},
+    "decode_int8w_int8kv_b8_4k": {"BENCH_MODE": "decode",
+                                  "BENCH_DECODE_QUANT": "1",
+                                  "BENCH_KV_INT8": "1",
+                                  "BENCH_DECODE_BATCH": "8",
+                                  "BENCH_DECODE_T0": "3968"},
     "encode": {"BENCH_MODE": "encode"},
     "serve_600m_8slots": {"BENCH_MODE": "serve"},
     "serve_600m_8slots_int8": {"BENCH_MODE": "serve", "BENCH_SERVE_QUANT": "1"},
+    "serve_600m_longctx_int8kv": {"BENCH_MODE": "serve",
+                                  "BENCH_SERVE_QUANT": "1",
+                                  "BENCH_KV_INT8": "1",
+                                  "BENCH_SERVE_T0": "2048",
+                                  "BENCH_SERVE_CACHE": "4096",
+                                  "BENCH_SERVE_REQUESTS": "24"},
     "serve_600m_longctx_int8": {"BENCH_MODE": "serve", "BENCH_SERVE_QUANT": "1",
                                 "BENCH_SERVE_T0": "2048",
                                 "BENCH_SERVE_CACHE": "4096",
