@@ -71,8 +71,7 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 quantized decode (ops/quant.py)")
     p.add_argument("--kv-int8", action="store_true",
-                   help="int8 KV cache (halves cache HBM traffic; forces "
-                        "blocking prefill, i.e. --fill-chunk 0)")
+                   help="int8 KV cache (halves cache HBM traffic)")
     p.add_argument("--fill-chunk", type=int, default=256,
                    help="chunked-prefill chunk size for long prompts "
                         "(0 disables; must divide --max-cache-len)")
@@ -108,7 +107,7 @@ def main(argv=None):
     eng = ServeEngine(params, cfg, n_slots=args.n_slots,
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens,
-                      fill_chunk=0 if args.kv_int8 else args.fill_chunk,
+                      fill_chunk=args.fill_chunk,
                       steps_per_sync=args.steps_per_sync,
                       seed=args.seed, kv_int8=args.kv_int8)
     rows = [json.loads(l) for l in open(args.requests) if l.strip()]

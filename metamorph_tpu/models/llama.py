@@ -433,15 +433,16 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
     from metamorph_tpu.ops.decode_attention import (decode_attention,
                                                     decode_attention_xla)
 
-    if "k_scale" in cache:
-        raise NotImplementedError(
-            "chunked prefill does not support the int8 KV cache yet — "
-            "use blocking prefill (fill_chunk=0) with kv_int8")
     B = x.shape[0]
     C = chunk.shape[0]
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     scale = Dh ** -0.5
     ck_all, cv_all = cache["k"], cache["v"]        # [L, B, KV, S, Dh]
+    quant = "k_scale" in cache                     # int8 KV cache
+    cks_all = cache.get("k_scale")                 # [L, B, KV, S] fp32
+    cvs_all = cache.get("v_scale")
+    if quant:
+        from metamorph_tpu.ops.quant import quantize_kv
     S = ck_all.shape[3]
     lengths = (cache_idx + 1).astype(jnp.int32)
     attn_fn = decode_attention if attn_impl == "pallas" else decode_attention_xla
@@ -471,8 +472,12 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
         # Per-row DUS, not a vector scatter — see decode_step: the scatter
         # loses in-place updating against the Pallas consumer and copies the
         # full cache per layer.
-        k1 = k[0, :B].astype(ck_all.dtype)          # [B, KV, Dh]
-        v1 = v[0, :B].astype(cv_all.dtype)
+        if quant:
+            k1, k1_sc = quantize_kv(k[0, :B])       # [B, KV, Dh] i8 / [B, KV]
+            v1, v1_sc = quantize_kv(v[0, :B])
+        else:
+            k1 = k[0, :B].astype(ck_all.dtype)      # [B, KV, Dh]
+            v1 = v[0, :B].astype(cv_all.dtype)
         for b in range(B):
             ck_all = jax.lax.dynamic_update_slice(
                 ck_all, k1[b].reshape(1, 1, KV, 1, Dh),
@@ -480,16 +485,39 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
             cv_all = jax.lax.dynamic_update_slice(
                 cv_all, v1[b].reshape(1, 1, KV, 1, Dh),
                 (l, b, 0, cache_idx[b], 0))
+            if quant:
+                cks_all = jax.lax.dynamic_update_slice(
+                    cks_all, k1_sc[b].reshape(1, 1, KV, 1),
+                    (l, b, 0, cache_idx[b]))
+                cvs_all = jax.lax.dynamic_update_slice(
+                    cvs_all, v1_sc[b].reshape(1, 1, KV, 1),
+                    (l, b, 0, cache_idx[b]))
         # chunk cache writes: [KV, C, Dh] into [fill_slot, :, off:off+C];
         # masked tokens keep the existing cache values (an unmasked write
         # could clobber generated KV after admission)
-        kc = k[0, B:].transpose(1, 0, 2).astype(ck_all.dtype)    # [KV, C, Dh]
-        vc = v[0, B:].transpose(1, 0, 2).astype(cv_all.dtype)
+        kc_f = k[0, B:].transpose(1, 0, 2)                       # [KV, C, Dh]
+        vc_f = v[0, B:].transpose(1, 0, 2)
+        sel = chunk_mask[None, :, None]
+        if quant:
+            kc, kc_sc = quantize_kv(kc_f)           # [KV, C] scales
+            vc, vc_sc = quantize_kv(vc_f)
+            old_ks = jax.lax.dynamic_slice(
+                cks_all, (l, fill_slot, 0, chunk_off), (1, 1, KV, C))[0, 0]
+            old_vs = jax.lax.dynamic_slice(
+                cvs_all, (l, fill_slot, 0, chunk_off), (1, 1, KV, C))[0, 0]
+            kc_sc = jnp.where(chunk_mask[None, :], kc_sc, old_ks)[None, None]
+            vc_sc = jnp.where(chunk_mask[None, :], vc_sc, old_vs)[None, None]
+            cks_all = jax.lax.dynamic_update_slice(
+                cks_all, kc_sc, (l, fill_slot, 0, chunk_off))
+            cvs_all = jax.lax.dynamic_update_slice(
+                cvs_all, vc_sc, (l, fill_slot, 0, chunk_off))
+        else:
+            kc = kc_f.astype(ck_all.dtype)
+            vc = vc_f.astype(cv_all.dtype)
         old_k = jax.lax.dynamic_slice(
             ck_all, (l, fill_slot, 0, chunk_off, 0), (1, 1, KV, C, Dh))[0, 0]
         old_v = jax.lax.dynamic_slice(
             cv_all, (l, fill_slot, 0, chunk_off, 0), (1, 1, KV, C, Dh))[0, 0]
-        sel = chunk_mask[None, :, None]
         kc = jnp.where(sel, kc, old_k)[None, None]
         vc = jnp.where(sel, vc, old_v)[None, None]
         ck_all = jax.lax.dynamic_update_slice(
@@ -499,20 +527,31 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
         # decode attention over the (updated) cache
         q_dec = q[0, :B]
         if attn_impl == "pallas":
-            out_d = attn_fn(q_dec, ck_all, cv_all, lengths, layer=l)
+            out_d = attn_fn(q_dec, ck_all, cv_all, lengths, layer=l,
+                            k_scale=cks_all, v_scale=cvs_all)
             # streaming chunk kernel: reads the fill row's slab straight out
             # of the stacked cache — no slab copy, no [C, S] score buffer
             from metamorph_tpu.ops.decode_attention import chunk_attention
 
             out_c = chunk_attention(q[0, B:], ck_all, cv_all, fill_slot,
-                                    chunk_off, layer=l)
+                                    chunk_off, layer=l,
+                                    k_scale=cks_all, v_scale=cvs_all)
         else:
-            out_d = attn_fn(q_dec, ck_all[l], cv_all[l], lengths)
+            out_d = attn_fn(q_dec, ck_all[l], cv_all[l], lengths,
+                            k_scale=cks_all[l] if quant else None,
+                            v_scale=cvs_all[l] if quant else None)
             # XLA fallback (CPU/tests): slab slice + masked dots
             slab_k = jax.lax.dynamic_slice(
                 ck_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
             slab_v = jax.lax.dynamic_slice(
                 cv_all, (l, fill_slot, 0, 0, 0), (1, 1, KV, S, Dh))[0, 0]
+            if quant:
+                sl_ks = jax.lax.dynamic_slice(
+                    cks_all, (l, fill_slot, 0, 0), (1, 1, KV, S))[0, 0]
+                sl_vs = jax.lax.dynamic_slice(
+                    cvs_all, (l, fill_slot, 0, 0), (1, 1, KV, S))[0, 0]
+                slab_k = slab_k.astype(jnp.float32) * sl_ks[..., None]
+                slab_v = slab_v.astype(jnp.float32) * sl_vs[..., None]
             out_c = _chunk_attention(q[0, B:], slab_k, slab_v, chunk_pos,
                                      scale)
         # combined output projection + residual
@@ -531,4 +570,7 @@ def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
 
     x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     xc = rms_norm(xc, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    return x, xc[0], {"k": ck_all, "v": cv_all}
+    out_cache = {"k": ck_all, "v": cv_all}
+    if quant:
+        out_cache["k_scale"], out_cache["v_scale"] = cks_all, cvs_all
+    return x, xc[0], out_cache

@@ -213,9 +213,14 @@ def decode_attention(
 def _chunk_kernel(slot_ref, off_ref,              # scalar prefetch [1], [1]
                   q_ref,                          # [1, G*C, Dh]
                   k_ref, v_ref,                   # [1, 1, 1, BS, Dh]
-                  o_ref,                          # [1, G*C, Dh]
-                  acc, m_i, l_i,                  # scratch [G*C, *] fp32
-                  *, scale, block_s, n_s, chunk, group):
+                  *rest,                          # (+[1, 1, 1, BS] scales when
+                                                  #   quantized), o_ref,
+                                                  #   acc/m_i/l_i scratch
+                  scale, block_s, n_s, chunk, group, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc, m_i, l_i = rest
+    else:
+        o_ref, acc, m_i, l_i = rest
     h, j = pl.program_id(0), pl.program_id(1)
     del h
 
@@ -237,6 +242,8 @@ def _chunk_kernel(slot_ref, off_ref,              # scalar prefetch [1], [1]
         k = k_ref[0, 0, 0].astype(jnp.float32)         # [BS, Dh]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
+        if quantized:                                  # per-key dequant
+            s = s * ks_ref[0, 0, 0][None, :]
         col = k_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 1)
         c = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 0) % chunk
         mask = col <= off + c
@@ -248,6 +255,8 @@ def _chunk_kernel(slot_ref, off_ref,              # scalar prefetch [1], [1]
         l_i[...] = jnp.broadcast_to(
             alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape)
         v = v_ref[0, 0, 0].astype(jnp.float32)
+        if quantized:
+            p = p * vs_ref[0, 0, 0][None, :]           # fold v's dequant in
         acc[...] = acc[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
@@ -268,15 +277,19 @@ def chunk_attention(
     layer: int,
     block_s: int = 512,
     scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # [L, B, KV, S] fp32: int8 cache
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Causal-with-offset attention of a prompt chunk against one row of the
     stacked decode cache (chunked-prefill serving path): query token c reads
     keys at positions <= chunk_off + c. Streams the row's [KV, S, Dh] slab
     once — no [C, S] score materialization, no slab slice copy; one grid
-    program per (kv head, cache block). Returns [C, H, Dh] in q.dtype."""
+    program per (kv head, cache block). Returns [C, H, Dh] in q.dtype.
+    With k_scale/v_scale the slab is int8 and dequantized in-kernel."""
     C, H, Dh = q.shape
     KV, S = k.shape[2], k.shape[3]
     G = H // KV
+    quantized = k_scale is not None
     scale = scale if scale is not None else Dh ** -0.5
     block_s = min(block_s, S)
     n_s = _cdiv(S, block_s)
@@ -286,18 +299,27 @@ def chunk_attention(
     def kv_index(h, j, slot_ref, off_ref):
         return (layer, slot_ref[0], h, j, 0)
 
+    def sc_index(h, j, slot_ref, off_ref):
+        return (layer, slot_ref[0], h, j)
+
+    in_specs = [
+        pl.BlockSpec((1, G * C, Dh), lambda h, j, *_: (h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+        pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+    ]
+    operands = [qg, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, 1, block_s), sc_index),
+                     pl.BlockSpec((1, 1, 1, block_s), sc_index)]
+        operands += [k_scale, v_scale]
     kernel = functools.partial(_chunk_kernel, scale=scale, block_s=block_s,
-                               n_s=n_s, chunk=C, group=G)
+                               n_s=n_s, chunk=C, group=G, quantized=quantized)
     o = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(KV, n_s),
-            in_specs=[
-                pl.BlockSpec((1, G * C, Dh), lambda h, j, *_: (h, 0, 0)),
-                pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
-                pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, G * C, Dh), lambda h, j, *_: (h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((G * C, Dh), jnp.float32),
@@ -310,7 +332,7 @@ def chunk_attention(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
     )(jnp.asarray([slot], jnp.int32), jnp.asarray([chunk_off], jnp.int32),
-      qg, k, v)
+      *operands)
     return o.reshape(KV, G, C, Dh).transpose(2, 0, 1, 3).reshape(C, H, Dh)
 
 

@@ -153,12 +153,62 @@ def test_serve_kv_int8_matches_single_decode():
                                       np.asarray(ref["ids"][:n]))
 
 
-def test_serve_kv_int8_rejects_chunked_fill():
-    from metamorph_tpu.inference.serve import ServeEngine
+def test_serve_kv_int8_chunked_fill_matches_blocking():
+    """A long prompt admitted through chunked prefill with an int8 cache
+    (quantized chunk writes + in-kernel dequant in the chunk attention)
+    decodes the same ids as the blocking-prefill int8 path."""
+    from metamorph_tpu.inference.serve import Request, ServeEngine
     from metamorph_tpu.models import metamorph as M
 
     params = M.init_metamorph_params(jax.random.PRNGKey(7), CFG,
                                      dtype=jnp.float32)
-    with pytest.raises(ValueError):
-        ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
-                    prefill_buckets=(8,), fill_chunk=4, kv_int8=True)
+    rng = np.random.default_rng(5)
+    long_ids = jnp.asarray(rng.integers(10, 1000, (1, 13)).astype(np.int32))
+    long_pe = np.asarray(L.embed_tokens(params["llama"], long_ids)[0])
+    warm = np.asarray(L.embed_tokens(
+        params["llama"],
+        jnp.asarray(rng.integers(10, 1000, (1, 5)).astype(np.int32)))[0])
+
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                      max_new_tokens_cap=16, max_images=2,
+                      prefill_buckets=(16,), steps_per_sync=2, kv_int8=True)
+    eng.submit(Request(prompt_embeds=long_pe, max_new_tokens=9, uid="x"))
+    ref = eng.run()[0]
+
+    eng2 = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                       max_new_tokens_cap=16, max_images=2,
+                       prefill_buckets=(16,), steps_per_sync=2, fill_chunk=4,
+                       kv_int8=True)
+    eng2.submit(Request(prompt_embeds=warm, max_new_tokens=12, uid="warm"))
+    eng2.step()
+    eng2.submit(Request(prompt_embeds=long_pe, max_new_tokens=9, uid="x"))
+    eng2.step()
+    assert eng2._fill is not None or eng2.slot_uid.count(None) == 0
+    done = {c.uid: c for c in eng2.run()}
+    np.testing.assert_array_equal(done["x"].ids, ref.ids)
+
+
+def test_pallas_chunk_attention_int8_matches_xla():
+    """Quantized chunk kernel (interpret on CPU) == masked-dot reference over
+    the explicitly dequantized slab."""
+    from metamorph_tpu.models.llama import _chunk_attention
+    from metamorph_tpu.ops.decode_attention import chunk_attention
+
+    rng = jax.random.PRNGKey(9)
+    Lyr, B, KV, G, S, Dh, C = 2, 2, 2, 3, 64, 64, 8
+    H = KV * G
+    k = jax.random.normal(rng, (Lyr, B, KV, S, Dh), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(rng, 1),
+                          (Lyr, B, KV, S, Dh), jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (C, H, Dh), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    layer, slot, off = 1, 1, 12
+    out = chunk_attention(q, kq, vq, jnp.int32(slot), jnp.int32(off),
+                          layer=layer, block_s=32, k_scale=ks, v_scale=vs)
+    deq_k = kq[layer, slot].astype(jnp.float32) * ks[layer, slot][..., None]
+    deq_v = vq[layer, slot].astype(jnp.float32) * vs[layer, slot][..., None]
+    chunk_pos = off + jnp.arange(C, dtype=jnp.int32)
+    ref = _chunk_attention(q, deq_k, deq_v, chunk_pos, Dh ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
