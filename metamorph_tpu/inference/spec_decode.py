@@ -1,0 +1,294 @@
+"""Speculative greedy decode: prompt-lookup drafting + chunk verification.
+
+B=1 decode on TPU is bound by streaming the weights from HBM once per token
+(`docs/SERVING.md`); a C-token verification chunk (`llama.decode_chunk_step`)
+reads the weights ONCE for C candidate tokens, so every accepted draft token
+is nearly free. Drafts come from prompt-lookup (n-gram) matching — the
+model-free scheme that pays off exactly where multimodal serving spends its
+tokens (VQA answers and captions echo the prompt) — and verification is
+EXACT: the output ids/image embeds equal `decode.greedy_decode`'s for every
+input, accepted drafts or not (pinned by tests/test_spec_decode.py).
+
+Precision caveat: "equal" means equal per-position argmax. The chunk and
+single-token compilations reduce in different orders, so on bf16 a RANDOM
+-weight model's dense logit near-ties can break differently between the two
+paths (which also sinks the accept rate — see bench.py:bench_spec_decode).
+Real checkpoints have decisive margins; the fp32 suite pins bitwise equality.
+
+The reference has no speculation and no cache at all — it recomputes the full
+sequence per token (`metamorph/model/language_model/metamorph_llama.py:510`).
+
+State-machine interplay: only plain-text tokens ride the accept chain; the
+chain stops AT the first special token (<image_start>/<image_end>/eos), whose
+transition is applied scalar-wise, and while the row is in image-emission
+mode the chunk degenerates to a 1-accept step (continuous tokens cannot be
+drafted). Conservative, and exactly equivalent to the plain loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from metamorph_tpu.config import MetaMorphConfig
+from metamorph_tpu.constants import (IM_END_TOKEN_ID, IM_START_TOKEN_ID,
+                                     LLAMA3_EOS_IDS)
+from metamorph_tpu.inference.decode import _project_pred
+from metamorph_tpu.models import llama as llama_lib
+from metamorph_tpu.models import metamorph as mm_lib
+
+
+class SpecState(NamedTuple):
+    cache: Dict[str, jnp.ndarray]
+    cache_len: jnp.ndarray        # int32 — valid cache entries
+    next_embed: jnp.ndarray       # [1, 1, D]
+    in_image: jnp.ndarray         # bool
+    img_count: jnp.ndarray        # int32
+    ids: jnp.ndarray              # [max_new] int32 (pad -1)
+    n_ids: jnp.ndarray            # int32
+    img_embeds: jnp.ndarray       # [max_img_tokens, Dv] fp32
+    n_img: jnp.ndarray            # int32
+    steps: jnp.ndarray            # int32
+    done: jnp.ndarray             # bool
+    ids_all: jnp.ndarray          # [cap] int32 — prompt ids + recorded ids
+    n_all: jnp.ndarray            # int32
+    iters: jnp.ndarray            # int32 — chunk steps taken (for metrics)
+
+
+def _advance1(params, cfg: MetaMorphConfig, state: SpecState,
+              h_last: jnp.ndarray, K: int, max_new: int,
+              stop_ids: tuple):
+    """One full state-machine transition (the exact math of
+    `decode._advance`, plus the ids_all append used for drafting). Returns
+    (state, tok, emit) so the caller can decide whether the accept chain may
+    continue past this token."""
+    logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)   # [1, V]
+    next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    tok = next_token[0]
+
+    pred_z = mm_lib.apply_vision_head(params, cfg, h_last)           # [1, Dv]
+    prediction = _project_pred(params, cfg, pred_z)                  # [1, D]
+    tok_embed = llama_lib.embed_tokens(params["llama"], next_token)  # [1, D]
+
+    is_start = jnp.logical_and(~state.in_image, tok == IM_START_TOKEN_ID)
+    emit_image = jnp.logical_and(state.in_image, state.img_count < K)
+    is_end = jnp.logical_and(~emit_image,
+                             jnp.logical_and(~is_start,
+                                             tok == IM_END_TOKEN_ID))
+
+    record = ~emit_image
+    old_id = jax.lax.dynamic_slice(state.ids, (state.n_ids,), (1,))
+    ids = jax.lax.dynamic_update_slice(
+        state.ids, jnp.where(record, tok, old_id[0])[None], (state.n_ids,))
+    n_ids = state.n_ids + record.astype(jnp.int32)
+    old_all = jax.lax.dynamic_slice(state.ids_all, (state.n_all,), (1,))
+    ids_all = jax.lax.dynamic_update_slice(
+        state.ids_all, jnp.where(record, tok, old_all[0])[None],
+        (state.n_all,))
+    n_all = state.n_all + record.astype(jnp.int32)
+
+    old_row = jax.lax.dynamic_slice(
+        state.img_embeds, (state.n_img, 0), (1, state.img_embeds.shape[1]))
+    img_embeds = jax.lax.dynamic_update_slice(
+        state.img_embeds, jnp.where(emit_image, pred_z, old_row),
+        (state.n_img, 0))
+    n_img = state.n_img + emit_image.astype(jnp.int32)
+    img_count = jnp.where(emit_image, state.img_count + 1, state.img_count)
+
+    in_image = state.in_image
+    in_image = jnp.where(is_start, True, in_image)
+    in_image = jnp.where(jnp.logical_and(emit_image, img_count >= K),
+                         False, in_image)
+    in_image = jnp.where(is_end, False, in_image)
+    img_count = jnp.where(is_end, 0, img_count)  # reference counter quirk
+
+    next_embed = jnp.where(emit_image, prediction, tok_embed)[None]
+
+    steps = state.steps + 1
+    is_eos = jnp.isin(tok, jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids,
+                                       jnp.int32))
+    buffer_full = n_img >= state.img_embeds.shape[0]
+    done = state.done | is_eos | (steps >= max_new) | buffer_full
+
+    state = state._replace(
+        next_embed=next_embed, in_image=in_image, img_count=img_count,
+        ids=ids, n_ids=n_ids, img_embeds=img_embeds, n_img=n_img,
+        steps=steps, done=done, ids_all=ids_all, n_all=n_all)
+    return state, tok, emit_image
+
+
+def make_ngram_draft(n_draft: int):
+    """Prompt-lookup drafting: find the most recent earlier occurrence of the
+    last bigram in ids_all[:n_all] and propose the n_draft tokens that
+    followed it (-1 where no draft). O(cap) vector ops per step."""
+
+    def draft(ids_all: jnp.ndarray, n_all: jnp.ndarray) -> jnp.ndarray:
+        cap = ids_all.shape[0]
+        a = jax.lax.dynamic_slice(ids_all, (n_all - 2,), (1,))[0]
+        b = jax.lax.dynamic_slice(ids_all, (n_all - 1,), (1,))[0]
+        i = jnp.arange(cap - 1)
+        m = (ids_all[:-1] == a) & (ids_all[1:] == b) & (i < n_all - 2)
+        j = jnp.max(jnp.where(m, i, -1))
+        idx = j + 2 + jnp.arange(n_draft)
+        d = ids_all[jnp.clip(idx, 0, cap - 1)]
+        return jnp.where((j >= 0) & (idx < n_all), d, -1)
+
+    return draft
+
+
+_SPECIAL = (IM_START_TOKEN_ID, IM_END_TOKEN_ID)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_new_tokens", "max_images", "max_cache_len", "stop_ids",
+    "prefill_attn_impl", "attn_impl", "kv_int8", "spec_k", "draft_fn"))
+def greedy_decode_spec(
+    params: Any,
+    cfg: MetaMorphConfig,
+    prompt_embeds: jnp.ndarray,   # [1, T0, D] fused prompt
+    prompt_ids: jnp.ndarray,      # [T0] int32 — drafting source (image-slot
+                                  # placeholder ids are fine; they just never
+                                  # match a real prediction)
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+    stop_ids: tuple = (),
+    prefill_attn_impl: str = "xla",
+    attn_impl: str = "xla",
+    kv_int8: bool = False,
+    spec_k: int = 8,              # chunk width: 1 input + spec_k-1 drafts
+    draft_fn=None,                # (ids_all, n_all) -> [spec_k-1] int32 | -1
+) -> Dict[str, jnp.ndarray]:
+    """Greedy decode with speculative verification. Output-identical to
+    `decode.greedy_decode` (same ids, image embeds, steps); additionally
+    returns "iters" — the number of chunk steps taken (iters == steps means
+    no draft ever accepted; iters < steps is the speedup)."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    T0 = prompt_embeds.shape[1]
+    Km1 = spec_k - 1
+    cache_len_total = max_cache_len or (T0 + max_new_tokens + spec_k + 8)
+    if draft_fn is None:
+        draft_fn = make_ngram_draft(Km1)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, 1, cache_len_total,
+                                    dtype=dtype, quantized=kv_int8)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos,
+        jnp.ones((1, T0), jnp.int32), cache, attn_impl=prefill_attn_impl)
+
+    cap = T0 + max_new_tokens + 4
+    ids_all = jnp.full((cap,), -1, jnp.int32)
+    ids_all = ids_all.at[:T0].set(prompt_ids.astype(jnp.int32))
+
+    state = SpecState(
+        cache=cache,
+        cache_len=jnp.int32(T0),
+        next_embed=jnp.zeros((1, 1, D), dtype),
+        in_image=jnp.asarray(False),
+        img_count=jnp.int32(0),
+        ids=jnp.full((max_new_tokens,), -1, jnp.int32),
+        n_ids=jnp.int32(0),
+        img_embeds=jnp.zeros((max_images * K, Dv), jnp.float32),
+        n_img=jnp.int32(0),
+        steps=jnp.int32(0),
+        done=jnp.asarray(False),
+        ids_all=ids_all,
+        n_all=jnp.int32(T0),
+        iters=jnp.int32(0),
+    )
+    state, _, _ = _advance1(params, cfg, state, h_all[:, -1], K,
+                            max_new_tokens, stop_ids)
+
+    eos_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32)
+    special_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids + _SPECIAL,
+                              jnp.int32)
+
+    def cond(s: SpecState):
+        return ~s.done
+
+    def body(s: SpecState):
+        drafts = draft_fn(s.ids_all, s.n_all)                    # [Km1]
+        d_emb = llama_lib.embed_tokens(
+            params["llama"], jnp.maximum(drafts, 0)).astype(dtype)
+        chunk = jnp.concatenate([s.next_embed[0], d_emb], axis=0)  # [spec_k,D]
+        cpos = s.cache_len + jnp.arange(spec_k, dtype=jnp.int32)
+        h, cache = llama_lib.decode_chunk_step(
+            params["llama"], cfg.llama, chunk, cpos, s.cache,
+            attn_impl=attn_impl)
+        s = s._replace(cache=cache, cache_len=s.cache_len + 1,
+                       iters=s.iters + 1)
+
+        # token 1: the full state machine on the chunk's first hidden state
+        s1, tok1, emit1 = _advance1(params, cfg, s, h[0:1], K,
+                                    max_new_tokens, stop_ids)
+
+        if Km1 == 0:
+            return s1
+
+        # extra acceptances: plain-text chain through the drafted positions
+        preds = jnp.argmax(
+            llama_lib.lm_head(params["llama"], cfg.llama, h[1:]),
+            axis=-1).astype(jnp.int32)                           # [Km1]
+        base_ok = (~emit1 & ~s1.done
+                   & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
+
+        ids, ids_all = s1.ids, s1.ids_all
+        n_extra = jnp.int32(0)
+        last_tok = tok1
+        eos_acc = jnp.asarray(False)
+        start_acc = jnp.asarray(False)
+        end_acc = jnp.asarray(False)
+        ok_chain = base_ok
+        prev = tok1
+        for i in range(Km1):
+            ok_i = ok_chain & (drafts[i] == prev)
+            acc_i = ok_i & (s1.steps + i < max_new_tokens)
+            cand = preds[i]
+            special_i = jnp.isin(cand, special_arr)
+            # record (acceptance is a prefix chain -> slot i past n_ids)
+            old = jax.lax.dynamic_slice(ids, (s1.n_ids + i,), (1,))
+            ids = jax.lax.dynamic_update_slice(
+                ids, jnp.where(acc_i, cand, old[0])[None], (s1.n_ids + i,))
+            old_a = jax.lax.dynamic_slice(ids_all, (s1.n_all + i,), (1,))
+            ids_all = jax.lax.dynamic_update_slice(
+                ids_all, jnp.where(acc_i, cand, old_a[0])[None],
+                (s1.n_all + i,))
+            n_extra = n_extra + acc_i.astype(jnp.int32)
+            last_tok = jnp.where(acc_i, cand, last_tok)
+            eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
+            start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
+            end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
+            ok_chain = acc_i & ~special_i
+            prev = cand
+
+        any_extra = n_extra > 0
+        tok_embed = llama_lib.embed_tokens(params["llama"],
+                                           last_tok[None])     # [1, D]
+        next_embed = jnp.where(any_extra, tok_embed[None], s1.next_embed)
+        steps = s1.steps + n_extra
+        return s1._replace(
+            ids=ids, ids_all=ids_all,
+            n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
+            cache_len=s1.cache_len + n_extra,
+            next_embed=next_embed,
+            in_image=jnp.where(start_acc, True, s1.in_image),
+            img_count=jnp.where(end_acc, 0, s1.img_count),
+            steps=steps,
+            done=s1.done | eos_acc | (steps >= max_new_tokens))
+
+    state = jax.lax.while_loop(cond, body, state)
+    return {
+        "ids": state.ids,
+        "n_ids": state.n_ids,
+        "image_embeds": state.img_embeds,
+        "n_image_tokens": state.n_img,
+        "steps": state.steps,
+        "iters": state.iters,
+    }

@@ -413,6 +413,83 @@ def _chunk_attention(q, ks, vs, chunk_pos, scale):
     return o.reshape(C, H, Dh).astype(q.dtype)
 
 
+def decode_chunk_step(params, cfg: LlamaConfig, xc: jnp.ndarray,
+                      chunk_pos: jnp.ndarray, cache,
+                      attn_impl: str = "xla"):
+    """Speculative-verification step (B=1 cache): run C token embeddings
+    `xc [C, D]` at contiguous positions `chunk_pos [C]` against row 0's
+    cache with causal-within-chunk attention, writing all C K/V entries at
+    chunk_pos. Returns (h [C, D], cache).
+
+    The caller (inference/spec_decode.py) accepts a verified prefix and
+    rolls its cache_len back to it; entries past the accepted point are
+    stale but harmless — attention masks by length, and the next chunk
+    (which starts at the rolled-back position and spans >= the overhang)
+    overwrites them before the length can reach them. Weight reads dominate
+    B=1 decode, so this C-token step costs ~one plain decode_step — that is
+    the entire speculative-decoding bet on TPU."""
+    from metamorph_tpu.ops.decode_attention import chunk_attention
+
+    C = xc.shape[0]
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = Dh ** -0.5
+    ck_all, cv_all = cache["k"], cache["v"]        # [L, 1, KV, S, Dh]
+    quant = "k_scale" in cache
+    cks_all = cache.get("k_scale")
+    cvs_all = cache.get("v_scale")
+    if quant:
+        from metamorph_tpu.ops.quant import quantize_kv
+    S = ck_all.shape[3]
+    cos, sin = rope_tables(cfg, chunk_pos[None])
+    p0 = chunk_pos[0]
+    x = xc[None]                                   # [1, C, D]
+
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        attn_p, mlp_p = lp["attn"], lp["mlp"]
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        q = _lora_dense(attn_p, "wq", h, cfg).reshape(1, C, H, Dh)
+        k = _lora_dense(attn_p, "wk", h, cfg).reshape(1, C, KV, Dh)
+        v = _lora_dense(attn_p, "wv", h, cfg).reshape(1, C, KV, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc_f = k[0].transpose(1, 0, 2)             # [KV, C, Dh]
+        vc_f = v[0].transpose(1, 0, 2)
+        if quant:
+            kc, kc_sc = quantize_kv(kc_f)
+            vc, vc_sc = quantize_kv(vc_f)
+            cks_all = jax.lax.dynamic_update_slice(
+                cks_all, kc_sc[None, None], (l, 0, 0, p0))
+            cvs_all = jax.lax.dynamic_update_slice(
+                cvs_all, vc_sc[None, None], (l, 0, 0, p0))
+        else:
+            kc = kc_f.astype(ck_all.dtype)
+            vc = vc_f.astype(cv_all.dtype)
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, kc[None, None], (l, 0, 0, p0, 0))
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, vc[None, None], (l, 0, 0, p0, 0))
+        if attn_impl == "pallas":
+            out = chunk_attention(q[0], ck_all, cv_all, jnp.int32(0), p0,
+                                  layer=l, k_scale=cks_all, v_scale=cvs_all)
+        else:
+            slab_k = ck_all[l, 0]
+            slab_v = cv_all[l, 0]
+            if quant:
+                slab_k = slab_k.astype(jnp.float32) * cks_all[l, 0][..., None]
+                slab_v = slab_v.astype(jnp.float32) * cvs_all[l, 0][..., None]
+            out = _chunk_attention(q[0], slab_k, slab_v, chunk_pos, scale)
+        x = x + _lora_dense(attn_p, "wo", out.reshape(C, H * Dh)[None], cfg)
+        h2 = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp_block(mlp_p, h2, cfg)
+
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    out_cache = {"k": ck_all, "v": cv_all}
+    if quant:
+        out_cache["k_scale"], out_cache["v_scale"] = cks_all, cvs_all
+    return x[0], out_cache
+
+
 def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
                            pos: jnp.ndarray, cache, cache_idx: jnp.ndarray,
                            chunk: jnp.ndarray, chunk_pos: jnp.ndarray,

@@ -47,6 +47,8 @@ MATRIX = {
     "train_600m_longctx_16k_flash": {"BENCH_SEQLEN": "16384",
                                      "BENCH_BATCH": "1", "BENCH_STEPS": "5"},
     "decode_b1_cost_decomposition": {"BENCH_MODE": "decode_decomp"},
+    "spec_decode_int8": {"BENCH_MODE": "spec_decode",
+                         "BENCH_DECODE_QUANT": "1"},
     "render_sd15_512px": {"BENCH_MODE": "render"},
 }
 

@@ -1,0 +1,149 @@
+"""Speculative decode: output must be BITWISE the plain greedy KV-cache
+decode for every input (accepted drafts or not) — the exact-verification
+property — and oracle drafts must cut the number of chunk steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metamorph_tpu.config import (LlamaConfig, MetaMorphConfig,
+                                  MultimodalConfig, SiglipConfig, TrainConfig)
+from metamorph_tpu.constants import IM_START_TOKEN_ID, LLAMA3_EOS_IDS
+from metamorph_tpu.inference.decode import greedy_decode
+from metamorph_tpu.inference.spec_decode import greedy_decode_spec
+from metamorph_tpu.models import llama as L
+from metamorph_tpu.models import metamorph as M
+
+CFG = MetaMorphConfig(
+    llama=LlamaConfig.tiny(vocab_size=128258),
+    siglip=SiglipConfig.tiny(),
+    mm=MultimodalConfig(num_image_tokens=3),
+    train=TrainConfig(max_seq_len=64),
+)
+K = CFG.mm.num_image_tokens
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_metamorph_params(jax.random.PRNGKey(7), CFG,
+                                   dtype=jnp.float32)
+
+
+def _prompt(params, seed, t0=8):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(10, 1000, (t0,)).astype(np.int32)
+    pe = L.embed_tokens(params["llama"], jnp.asarray(ids)[None])
+    return jnp.asarray(ids), pe
+
+
+def _check_equal(spec, ref):
+    n = int(ref["n_ids"])
+    assert int(spec["n_ids"]) == n
+    np.testing.assert_array_equal(np.asarray(spec["ids"][:n]),
+                                  np.asarray(ref["ids"][:n]))
+    assert int(spec["n_image_tokens"]) == int(ref["n_image_tokens"])
+    k = int(ref["n_image_tokens"])
+    if k:
+        np.testing.assert_allclose(np.asarray(spec["image_embeds"][:k]),
+                                   np.asarray(ref["image_embeds"][:k]),
+                                   rtol=1e-4, atol=1e-4)
+    assert int(spec["steps"]) == int(ref["steps"])
+
+
+@pytest.mark.parametrize("spec_k", [1, 4, 8])
+def test_spec_matches_greedy(params, spec_k):
+    for seed in (0, 1, 2):
+        ids, pe = _prompt(params, seed)
+        ref = greedy_decode(params, CFG, pe, max_new_tokens=12, max_images=2)
+        spec = greedy_decode_spec(params, CFG, pe, ids, max_new_tokens=12,
+                                  max_images=2, spec_k=spec_k)
+        _check_equal(spec, ref)
+        assert int(spec["iters"]) <= int(spec["steps"])
+
+
+def test_spec_forced_image_mode(params):
+    """Enter-emit-exit image transitions through the chunk-verification loop:
+    a crafted lm_head that always prefers <image_start> must produce exactly
+    the plain-greedy stream (continuous embeds included)."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, IM_START_TOKEN_ID] = 10.0
+    kernel[:, LLAMA3_EOS_IDS[0]] = -10.0
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    ids, pe = _prompt(params, 3, t0=4)
+    ref = greedy_decode(p, CFG, pe, max_new_tokens=10, max_images=2)
+    spec = greedy_decode_spec(p, CFG, pe, ids, max_new_tokens=10,
+                              max_images=2, spec_k=4)
+    _check_equal(spec, ref)
+
+
+def test_spec_oracle_draft_speedup(params):
+    """With a drafter that proposes the true continuation (upper bound for
+    prompt-lookup on echo-heavy workloads), the loop must take far fewer
+    chunk steps than tokens — and still produce the identical stream."""
+    max_new, spec_k = 16, 8
+    chosen = None
+    for seed in range(8):
+        ids, pe = _prompt(params, 100 + seed)
+        ref = greedy_decode(params, CFG, pe, max_new_tokens=max_new,
+                            max_images=2)
+        if int(ref["n_image_tokens"]) == 0 and int(ref["steps"]) >= 12:
+            chosen = (ids, pe, ref)
+            break
+    assert chosen is not None, "no text-only rollout found"
+    ids, pe, ref = chosen
+
+    n = int(ref["n_ids"])
+    true_ids = np.full((n + spec_k,), -1, np.int32)
+    true_ids[:n] = np.asarray(ref["ids"][:n])
+    true_arr = jnp.asarray(true_ids)
+    T0 = ids.shape[0]
+
+    def oracle(ids_all, n_all):
+        # recorded-so-far count == generated tokens (text-only rollout)
+        n_rec = n_all - T0
+        return jax.lax.dynamic_slice(true_arr, (n_rec,), (spec_k - 1,))
+
+    spec = greedy_decode_spec(params, CFG, pe, ids, max_new_tokens=max_new,
+                              max_images=2, spec_k=spec_k, draft_fn=oracle)
+    _check_equal(spec, ref)
+    # perfect drafts: ceil(steps / spec_k)-ish iterations, far below steps
+    assert int(spec["iters"]) <= int(ref["steps"]) // 2
+
+
+def test_spec_with_kv_int8(params):
+    ids, pe = _prompt(params, 5)
+    ref = greedy_decode(params, CFG, pe, max_new_tokens=10, max_images=2,
+                        kv_int8=True)
+    spec = greedy_decode_spec(params, CFG, pe, ids, max_new_tokens=10,
+                              max_images=2, spec_k=4, kv_int8=True)
+    _check_equal(spec, ref)
+
+
+def test_spec_ngram_drafts_accept_on_repetitive_forced_model(params):
+    """A crafted lm_head that cycles deterministically through a fixed token
+    sequence makes the model's output self-repeating, so the bigram lookup
+    drafts correctly after the first cycle: iters must drop below steps."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    # logits depend only on sign-ish structure of h; instead make them
+    # h-independent is impossible without bias, so force a 2-cycle: tokens
+    # 111 and 222 via a kernel aligned with the embeddings of those tokens
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5  # after seeing 222 -> predict 111 (approx)
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    ids = np.asarray([111, 222, 111, 222, 111, 222], np.int32)
+    pe = L.embed_tokens(p["llama"], jnp.asarray(ids)[None])
+    ref = greedy_decode(p, CFG, pe, max_new_tokens=14, max_images=2)
+    spec = greedy_decode_spec(p, CFG, pe, jnp.asarray(ids),
+                              max_new_tokens=14, max_images=2, spec_k=6)
+    _check_equal(spec, ref)
+    if int(ref["steps"]) >= 10 and int(ref["n_image_tokens"]) == 0:
+        # the stream is periodic -> prompt-lookup should have accepted drafts
+        assert int(spec["iters"]) < int(spec["steps"])
