@@ -60,6 +60,9 @@ def main(argv=None):
                         choices=["square", "pad", "anyres"])
     parser.add_argument("--prompt", default="What is in this image?")
     parser.add_argument("--max-new-tokens", type=int, default=256)
+    parser.add_argument("--spec-k", type=int, default=1,
+                        help=">1 enables speculative decoding (prompt-lookup "
+                             "drafts, exact verification; same output)")
     parser.add_argument("--out-dir", default="./demo_out")
     args = parser.parse_args(argv)
 
@@ -119,7 +122,7 @@ def main(argv=None):
                                 len(frames))
     batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
     out = generate(params, cfg, batch, jnp.asarray(pixels),
-                   max_new_tokens=args.max_new_tokens)
+                   max_new_tokens=args.max_new_tokens, spec_k=args.spec_k)
 
     n = int(out["n_ids"])
     gen_ids = [int(x) for x in np.asarray(out["ids"][:n])]

@@ -402,6 +402,10 @@ def _chunk_attention(q, ks, vs, chunk_pos, scale):
     G = H // KV
     # keep the dots in the input dtype with fp32 ACCUMULATION — an fp32 cast
     # before the einsum would push a [C, S]-sized matmul off the MXU
+    out_dtype = q.dtype
+    if q.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        # CPU thunk runtime can't execute bf16 x bf16 -> f32 dots
+        q, ks, vs = (a.astype(jnp.float32) for a in (q, ks, vs))
     qg = q.reshape(C, KV, G, Dh)
     s = jnp.einsum("ckgd,ksd->kgcs", qg, ks,
                    preferred_element_type=jnp.float32) * scale
@@ -410,7 +414,7 @@ def _chunk_attention(q, ks, vs, chunk_pos, scale):
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("kgcs,ksd->ckgd", p.astype(vs.dtype), vs,
                    preferred_element_type=jnp.float32)
-    return o.reshape(C, H, Dh).astype(q.dtype)
+    return o.reshape(C, H, Dh).astype(out_dtype)
 
 
 def decode_chunk_step(params, cfg: LlamaConfig, xc: jnp.ndarray,

@@ -90,6 +90,18 @@ def test_demo_pipeline_e2e(tmp_path, monkeypatch):
     # decode ran; if the random model emitted an image, renders exist — either
     # way the pipeline completed without error
 
+    # 5. same pipeline with speculative decoding enabled (--spec-k): output
+    # path is exact-verified so the pipeline must complete identically
+    demo.main([
+        "--model-path", str(model_dir),
+        "--tokenizer", "fake",
+        "--image", str(img_path),
+        "--prompt", "what is it",
+        "--max-new-tokens", "6",
+        "--spec-k", "4",
+        "--out-dir", str(tmp_path / "out_spec"),
+    ])
+
 
 class _FakeTransformers:
     class AutoTokenizer:

@@ -147,3 +147,22 @@ def test_spec_ngram_drafts_accept_on_repetitive_forced_model(params):
     if int(ref["steps"]) >= 10 and int(ref["n_image_tokens"]) == 0:
         # the stream is periodic -> prompt-lookup should have accepted drafts
         assert int(spec["iters"]) < int(spec["steps"])
+
+
+def test_generate_spec_k_wiring(params):
+    """decode.generate(spec_k>1) routes through the speculative path and
+    matches spec_k=1 output (right-padded single-row batch, no pixels)."""
+    from metamorph_tpu.inference.decode import generate
+
+    rng = np.random.default_rng(3)
+    t0 = 10
+    ids = rng.integers(10, 1000, (t0,)).astype(np.int32)
+    tokens = np.zeros((1, t0 + 4), np.int32)
+    tokens[0, :t0] = ids
+    mask = np.zeros((1, t0 + 4), np.int32)
+    mask[0, :t0] = 1
+    batch = {"tokens": jnp.asarray(tokens), "attn_mask": jnp.asarray(mask)}
+    ref = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1)
+    spec = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1,
+                    spec_k=4)
+    _check_equal(spec, ref)
