@@ -324,6 +324,8 @@ def bench_spec_decode(cfg, size):
     common = dict(max_new_tokens=NEW, max_images=1, attn_impl=attn,
                   kv_int8=kv_int8)
 
+    B = int(os.environ.get("BENCH_DECODE_BATCH", 1))
+
     def timed(fn, reps=3):
         out = fn(0)
         jax.block_until_ready(out["ids"])   # compile
@@ -333,18 +335,45 @@ def bench_spec_decode(cfg, size):
         for i in range(reps):
             last = fn(1 + i)
             jax.block_until_ready(last["ids"])
-            tot += int(last["steps"])
+            tot += int(np.sum(last["steps"])) * (
+                B if np.ndim(last["steps"]) == 0 else 1)
         return tot / (time.time() - t0), last
 
+    if B > 1:
+        # batched: equal-length unpadded rows (starts=0 -> the Pallas chunk
+        # path's contract holds); spec amortizes the per-row cache read too
+        from metamorph_tpu.inference.decode import batched_greedy_decode
+        from metamorph_tpu.inference.spec_decode import \
+            batched_greedy_decode_spec
+        mask = jnp.ones((B, T0), jnp.int32)
+
+        def greedy_fn(p, pe, _ids):
+            return lambda i: batched_greedy_decode(
+                p, cfg, pe + jnp.bfloat16(i * 1e-3), mask, **common)
+
+        def spec_fn(p, pe, ids2):
+            return lambda i: batched_greedy_decode_spec(
+                p, cfg, pe + jnp.bfloat16(i * 1e-3), mask, ids2,
+                spec_k=SPEC_K, **common)
+
+        ids_np = rng.integers(10, 100000, (B, T0)).astype(np.int32)
+    else:
+        def greedy_fn(p, pe, _ids):
+            return lambda i: greedy_decode(
+                p, cfg, pe + jnp.bfloat16(i * 1e-3), **common)
+
+        def spec_fn(p, pe, ids2):
+            return lambda i: greedy_decode_spec(
+                p, cfg, pe + jnp.bfloat16(i * 1e-3), ids2[0],
+                spec_k=SPEC_K, **common)
+
+        ids_np = rng.integers(10, 100000, (1, T0)).astype(np.int32)
+
     # regime (a): random weights
-    ids_np = rng.integers(10, 100000, (T0,)).astype(np.int32)
     ids = jnp.asarray(ids_np)
-    prompt = L.embed_tokens(params["llama"], ids[None])
-    greedy_tok_s, _ = timed(lambda i: greedy_decode(
-        params, cfg, prompt + jnp.bfloat16(i * 1e-3), **common))
-    ngram_tok_s, _ = timed(lambda i: greedy_decode_spec(
-        params, cfg, prompt + jnp.bfloat16(i * 1e-3), ids,
-        spec_k=SPEC_K, **common))
+    prompt = L.embed_tokens(params["llama"], ids)
+    greedy_tok_s, _ = timed(greedy_fn(params, prompt, ids))
+    ngram_tok_s, _ = timed(spec_fn(params, prompt, ids))
 
     # regime (b): crafted periodic model — lm_head column t_{j+1} aligned
     # with embedding row t_j (margin ~ 5*|emb|^2 >> bf16 noise)
@@ -357,17 +386,19 @@ def bench_spec_decode(cfg, size):
     p_echo = dict(params)
     p_echo["llama"] = dict(params["llama"])
     p_echo["llama"]["lm_head"] = {"kernel": jnp.asarray(kernel, jnp.bfloat16)}
-    e_ids_np = np.asarray((cycle * (T0 // len(cycle) + 1))[:T0], np.int32)
+    e_row = (cycle * (T0 // len(cycle) + 1))[:T0]
+    # stagger rows so batched rows cycle at different phases
+    e_ids_np = np.stack([np.roll(np.asarray(e_row, np.int32), b)
+                         for b in range(max(B, 1))])
     e_ids = jnp.asarray(e_ids_np)
-    e_prompt = L.embed_tokens(p_echo["llama"], e_ids[None])
-    echo_greedy_tok_s, _ = timed(lambda i: greedy_decode(
-        p_echo, cfg, e_prompt, **common))
-    echo_spec_tok_s, out_e = timed(lambda i: greedy_decode_spec(
-        p_echo, cfg, e_prompt, e_ids, spec_k=SPEC_K, **common))
-    accept = int(out_e["steps"]) / max(int(out_e["iters"]), 1)
+    e_prompt = L.embed_tokens(p_echo["llama"], e_ids)
+    echo_greedy_tok_s, _ = timed(greedy_fn(p_echo, e_prompt, e_ids))
+    echo_spec_tok_s, out_e = timed(spec_fn(p_echo, e_prompt, e_ids))
+    accept = float(np.mean(np.asarray(out_e["steps"]))) \
+        / max(int(out_e["iters"]), 1)
 
     print(json.dumps({
-        "metric": (f"speculative B=1 decode tok/s ({size} LLM, T0={T0}, "
+        "metric": (f"speculative B={B} decode tok/s ({size} LLM, T0={T0}, "
                    f"spec_k={SPEC_K}; echo regime = periodic-output model "
                    f"where prompt-lookup drafts verify, the workload spec "
                    f"decode targets); vs_baseline = echo-regime speedup "

@@ -292,3 +292,268 @@ def greedy_decode_spec(
         "steps": state.steps,
         "iters": state.iters,
     }
+
+
+class BatchedSpecState(NamedTuple):
+    cache: Dict[str, jnp.ndarray]
+    cache_lens: jnp.ndarray       # [B] int32 — next physical write slot
+    starts: jnp.ndarray           # [B] int32 — first valid key (left pad)
+    prompt_lens: jnp.ndarray      # [B] int32 — logical prompt lengths
+    next_embed: jnp.ndarray       # [B, 1, D]
+    in_image: jnp.ndarray         # [B] bool
+    img_count: jnp.ndarray        # [B] int32
+    ids: jnp.ndarray              # [B, max_new] int32 (pad -1)
+    n_ids: jnp.ndarray            # [B] int32
+    img_embeds: jnp.ndarray       # [B, max_img_tokens, Dv] fp32
+    n_img: jnp.ndarray            # [B] int32
+    steps: jnp.ndarray            # [B] int32 — transitions applied per row
+    done: jnp.ndarray             # [B] bool
+    ids_all: jnp.ndarray          # [B, cap] int32 — prompt + recorded ids
+    n_all: jnp.ndarray            # [B] int32
+    iters: jnp.ndarray            # int32 — chunk steps taken
+
+
+def _advance1_batched(params, cfg: MetaMorphConfig, state: BatchedSpecState,
+                      h_last: jnp.ndarray, K: int, max_new: int,
+                      stop_ids: tuple):
+    """Per-row state-machine transition — the exact (greedy) math of
+    `decode._advance_batched`, plus the ids_all append used for drafting.
+    Returns (state, tok [B], emit_image [B])."""
+    B = h_last.shape[0]
+    b_idx = jnp.arange(B)
+    logits = llama_lib.lm_head(params["llama"], cfg.llama, h_last)   # [B, V]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    pred_z = mm_lib.apply_vision_head(params, cfg, h_last)           # [B, Dv]
+    prediction = _project_pred(params, cfg, pred_z)                  # [B, D]
+    tok_embed = llama_lib.embed_tokens(params["llama"], tok)         # [B, D]
+
+    active = ~state.done
+    is_start = active & ~state.in_image & (tok == IM_START_TOKEN_ID)
+    emit_image = active & state.in_image & (state.img_count < K)
+    is_end = active & ~emit_image & ~is_start & (tok == IM_END_TOKEN_ID)
+
+    record = active & ~emit_image
+    old_ids = state.ids[b_idx, state.n_ids]
+    ids = state.ids.at[b_idx, state.n_ids].set(
+        jnp.where(record, tok, old_ids))
+    n_ids = state.n_ids + record.astype(jnp.int32)
+    old_all = state.ids_all[b_idx, state.n_all]
+    ids_all = state.ids_all.at[b_idx, state.n_all].set(
+        jnp.where(record, tok, old_all))
+    n_all = state.n_all + record.astype(jnp.int32)
+
+    old_emb = state.img_embeds[b_idx, state.n_img]
+    img_embeds = state.img_embeds.at[b_idx, state.n_img].set(
+        jnp.where(emit_image[:, None], pred_z, old_emb))
+    n_img = state.n_img + emit_image.astype(jnp.int32)
+    img_count = jnp.where(emit_image, state.img_count + 1, state.img_count)
+
+    in_image = state.in_image
+    in_image = jnp.where(is_start, True, in_image)
+    in_image = jnp.where(emit_image & (img_count >= K), False, in_image)
+    in_image = jnp.where(is_end, False, in_image)
+    img_count = jnp.where(is_end, 0, img_count)  # reference counter quirk
+
+    next_embed = jnp.where(emit_image[:, None, None], prediction[:, None],
+                           tok_embed[:, None])
+
+    steps = state.steps + active.astype(jnp.int32)
+    is_eos = active & jnp.isin(tok, jnp.asarray(
+        tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32))
+    buffer_full = n_img >= state.img_embeds.shape[1]
+    done = state.done | is_eos | (steps >= max_new) | buffer_full
+
+    state = state._replace(
+        next_embed=next_embed, in_image=in_image, img_count=img_count,
+        ids=ids, n_ids=n_ids, img_embeds=img_embeds, n_img=n_img,
+        steps=steps, done=done, ids_all=ids_all, n_all=n_all)
+    return state, tok, emit_image
+
+
+def batched_greedy_decode_spec(params, cfg, prompt_embeds, prompt_mask,
+                               prompt_ids, *args,
+                               prefill_attn_impl: str = "xla",
+                               attn_impl: str = "xla", **kw):
+    """Host-side guard + jit dispatch (mirrors decode.batched_greedy_decode):
+    'flash' prefill and the 'pallas' chunk attention both assume unpadded
+    rows (all-ones mask) — reject actually-padded batches instead of
+    silently attending wrong."""
+    if prefill_attn_impl == "flash" or attn_impl == "pallas":
+        import numpy as _np
+        if not bool(_np.asarray(prompt_mask, bool).all()):
+            raise ValueError(
+                "prefill_attn_impl='flash' / attn_impl='pallas' require an "
+                "unpadded batch here: rows are left-padded, but the flash "
+                "prefill and the chunk kernel assume starts == 0 "
+                "(use 'xla', or equal-length prompts)")
+    return _batched_greedy_decode_spec(
+        params, cfg, prompt_embeds, prompt_mask, prompt_ids, *args,
+        prefill_attn_impl=prefill_attn_impl, attn_impl=attn_impl, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_new_tokens", "max_images", "max_cache_len", "stop_ids",
+    "prefill_attn_impl", "attn_impl", "kv_int8", "spec_k", "draft_fn"))
+def _batched_greedy_decode_spec(
+    params: Any,
+    cfg: MetaMorphConfig,
+    prompt_embeds: jnp.ndarray,   # [B, T0, D] LEFT-padded fused prompts
+    prompt_mask: jnp.ndarray,     # [B, T0] 1 = real token
+    prompt_ids: jnp.ndarray,      # [B, T0] int32, aligned with prompt_embeds
+                                  # (left-padded; pad values ignored)
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+    stop_ids: tuple = (),
+    prefill_attn_impl: str = "xla",
+    attn_impl: str = "xla",       # chunk attention: "xla" handles left
+                                  # padding; "pallas" requires unpadded rows
+    kv_int8: bool = False,
+    spec_k: int = 8,
+    draft_fn=None,
+) -> Dict[str, jnp.ndarray]:
+    """Batched speculative greedy decode. Output-identical per row to
+    `decode.batched_greedy_decode` (do_sample=False). At B>1 this amortizes
+    BOTH HBM streams that bound batched decode — the weights (already
+    amortized over B) and each row's cache read (which single-token decode
+    re-pays per token): one `decode_chunk_step_batched` prices spec_k
+    candidates per row at ~one step. Returns per-row "steps" [B] and scalar
+    "iters" (chunk steps taken; B*iters vs sum(steps) is the saving)."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    B, T0 = prompt_embeds.shape[:2]
+    Km1 = spec_k - 1
+    S = max_cache_len or (T0 + max_new_tokens + spec_k + 8)
+    if draft_fn is None:
+        draft_fn = make_ngram_draft(Km1)
+    draft_b = jax.vmap(draft_fn)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, B, S, dtype=dtype,
+                                    quantized=kv_int8)
+    pos = (jnp.cumsum(prompt_mask, axis=1) - 1) * prompt_mask
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos.astype(jnp.int32),
+        prompt_mask.astype(jnp.int32), cache, attn_impl=prefill_attn_impl)
+
+    prompt_lens = prompt_mask.sum(axis=1).astype(jnp.int32)
+    starts = (jnp.int32(T0) - prompt_lens).astype(jnp.int32)
+
+    # drafting source: each row's real prompt ids made logically contiguous
+    cap = T0 + max_new_tokens + 4
+    gidx = starts[:, None] + jnp.arange(T0, dtype=jnp.int32)[None]
+    row_ids = jnp.take_along_axis(prompt_ids.astype(jnp.int32),
+                                  jnp.clip(gidx, 0, T0 - 1), axis=1)
+    valid = jnp.arange(T0)[None] < prompt_lens[:, None]
+    ids_all = jnp.full((B, cap), -1, jnp.int32)
+    ids_all = ids_all.at[:, :T0].set(jnp.where(valid, row_ids, -1))
+
+    state = BatchedSpecState(
+        cache=cache,
+        cache_lens=jnp.full((B,), T0, jnp.int32),
+        starts=starts,
+        prompt_lens=prompt_lens,
+        next_embed=jnp.zeros((B, 1, D), dtype),
+        in_image=jnp.zeros((B,), bool),
+        img_count=jnp.zeros((B,), jnp.int32),
+        ids=jnp.full((B, max_new_tokens), -1, jnp.int32),
+        n_ids=jnp.zeros((B,), jnp.int32),
+        img_embeds=jnp.zeros((B, max_images * K, Dv), jnp.float32),
+        n_img=jnp.zeros((B,), jnp.int32),
+        steps=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        ids_all=ids_all,
+        n_all=prompt_lens,
+        iters=jnp.int32(0),
+    )
+    state, _, _ = _advance1_batched(params, cfg, state, h_all[:, -1], K,
+                                    max_new_tokens, stop_ids)
+
+    eos_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32)
+    special_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids + _SPECIAL,
+                              jnp.int32)
+    b_idx = jnp.arange(B)
+
+    def cond(s: BatchedSpecState):
+        return ~jnp.all(s.done)
+
+    def body(s: BatchedSpecState):
+        drafts = draft_b(s.ids_all, s.n_all)                     # [B, Km1]
+        d_emb = llama_lib.embed_tokens(
+            params["llama"],
+            jnp.maximum(drafts, 0).reshape(-1)).astype(dtype)
+        chunk = jnp.concatenate(
+            [s.next_embed, d_emb.reshape(B, Km1, D)], axis=1)    # [B,spec_k,D]
+        rope_pos = ((s.prompt_lens + s.steps - 1)[:, None]
+                    + jnp.arange(spec_k, dtype=jnp.int32)[None])
+        h, cache = llama_lib.decode_chunk_step_batched(
+            params["llama"], cfg.llama, chunk, rope_pos, s.cache_lens,
+            s.starts, s.cache, attn_impl=attn_impl)
+        s = s._replace(cache=cache, cache_lens=s.cache_lens + 1,
+                       iters=s.iters + 1)
+
+        s1, tok1, emit1 = _advance1_batched(params, cfg, s, h[:, 0], K,
+                                            max_new_tokens, stop_ids)
+        if Km1 == 0:
+            return s1
+
+        preds = jnp.argmax(
+            llama_lib.lm_head(params["llama"], cfg.llama,
+                              h[:, 1:].reshape(B * Km1, -1)),
+            axis=-1).astype(jnp.int32).reshape(B, Km1)
+        base_ok = (~emit1 & ~s1.done
+                   & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
+
+        ids, ids_all = s1.ids, s1.ids_all
+        n_extra = jnp.zeros((B,), jnp.int32)
+        last_tok = tok1
+        eos_acc = jnp.zeros((B,), bool)
+        start_acc = jnp.zeros((B,), bool)
+        end_acc = jnp.zeros((B,), bool)
+        ok_chain = base_ok
+        prev = tok1
+        for i in range(Km1):
+            ok_i = ok_chain & (drafts[:, i] == prev)
+            acc_i = ok_i & (s1.steps + i < max_new_tokens)
+            cand = preds[:, i]
+            special_i = jnp.isin(cand, special_arr)
+            old = ids[b_idx, s1.n_ids + i]
+            ids = ids.at[b_idx, s1.n_ids + i].set(
+                jnp.where(acc_i, cand, old))
+            old_a = ids_all[b_idx, s1.n_all + i]
+            ids_all = ids_all.at[b_idx, s1.n_all + i].set(
+                jnp.where(acc_i, cand, old_a))
+            n_extra = n_extra + acc_i.astype(jnp.int32)
+            last_tok = jnp.where(acc_i, cand, last_tok)
+            eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
+            start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
+            end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
+            ok_chain = acc_i & ~special_i
+            prev = cand
+
+        any_extra = n_extra > 0
+        tok_embed = llama_lib.embed_tokens(params["llama"], last_tok)  # [B,D]
+        next_embed = jnp.where(any_extra[:, None, None], tok_embed[:, None],
+                               s1.next_embed)
+        steps = s1.steps + n_extra
+        return s1._replace(
+            ids=ids, ids_all=ids_all,
+            n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
+            cache_lens=s1.cache_lens + n_extra,
+            next_embed=next_embed,
+            in_image=jnp.where(start_acc, True, s1.in_image),
+            img_count=jnp.where(end_acc, 0, s1.img_count),
+            steps=steps,
+            done=s1.done | eos_acc | (steps >= max_new_tokens))
+
+    state = jax.lax.while_loop(cond, body, state)
+    return {
+        "ids": state.ids,
+        "n_ids": state.n_ids,
+        "image_embeds": state.img_embeds,
+        "n_image_tokens": state.n_img,
+        "steps": state.steps,
+        "iters": state.iters,
+    }

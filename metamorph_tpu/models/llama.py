@@ -494,6 +494,123 @@ def decode_chunk_step(params, cfg: LlamaConfig, xc: jnp.ndarray,
     return x[0], out_cache
 
 
+def _chunk_attention_batched(q, ks, vs, chunk_phys, starts, scale):
+    """Per-row causal chunk attention over the whole batch.
+    q: [B, C, H, Dh]; ks/vs: [B, KV, S, Dh]; chunk_phys: [B, C] physical key
+    slots of each row's chunk tokens; starts: [B] first valid key per row
+    (left-padded batched prompts). Chunk token c of row b reads keys at
+    starts[b] <= j <= chunk_phys[b, c]."""
+    B, C, H, Dh = q.shape
+    KV, S = ks.shape[1], ks.shape[2]
+    G = H // KV
+    out_dtype = q.dtype
+    if q.dtype == jnp.bfloat16 and jax.default_backend() == "cpu":
+        q, ks, vs = (a.astype(jnp.float32) for a in (q, ks, vs))
+    qg = q.reshape(B, C, KV, G, Dh)
+    s = jnp.einsum("bckgd,bksd->bkgcs", qg, ks,
+                   preferred_element_type=jnp.float32) * scale
+    j = jnp.arange(S)
+    mask = ((j[None, None] <= chunk_phys[:, :, None])
+            & (j[None, None] >= starts[:, None, None]))        # [B, C, S]
+    s = jnp.where(mask[:, None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bkgcs,bksd->bckgd", p.astype(vs.dtype), vs,
+                   preferred_element_type=jnp.float32)
+    return o.reshape(B, C, H, Dh).astype(out_dtype)
+
+
+def decode_chunk_step_batched(params, cfg: LlamaConfig, xc: jnp.ndarray,
+                              rope_pos: jnp.ndarray, write_pos: jnp.ndarray,
+                              starts: jnp.ndarray, cache,
+                              attn_impl: str = "xla"):
+    """Batched speculative-verification step: run C token embeddings per row
+    (`xc [B, C, D]`) at logical RoPE positions `rope_pos [B, C]`, writing each
+    row's C K/V entries at contiguous physical slots starting `write_pos [B]`
+    (rows are ragged in time — different rows verify at different depths).
+    `starts [B]` masks left padding. Returns (h [B, C, D], cache).
+
+    Why this pays at B>1: batched decode is bound by TWO HBM streams — the
+    weights (amortized over B) and the per-row cache read (NOT amortized).
+    A C-token chunk reads both streams once for C candidates per row, so
+    accepted drafts amortize the cache stream too, which single-token
+    batched decode never can. Same rollback contract as `decode_chunk_step`:
+    entries past a row's accepted point are stale but are overwritten by the
+    next chunk before its length can reach them.
+
+    attn_impl "pallas" routes per-row slabs through the chunk kernel
+    (ops/decode_attention.chunk_attention) and requires starts == 0 (unpadded
+    rows — the serving layout); "xla" handles arbitrary left padding."""
+    from metamorph_tpu.ops.decode_attention import chunk_attention
+
+    B, C, _ = xc.shape
+    H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = Dh ** -0.5
+    ck_all, cv_all = cache["k"], cache["v"]        # [L, B, KV, S, Dh]
+    quant = "k_scale" in cache
+    cks_all = cache.get("k_scale")
+    cvs_all = cache.get("v_scale")
+    if quant:
+        from metamorph_tpu.ops.quant import quantize_kv
+    cos, sin = rope_tables(cfg, rope_pos)          # [B, C, Dh/2]
+    chunk_phys = write_pos[:, None] + jnp.arange(C, dtype=jnp.int32)[None]
+    x = xc
+
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params["layers"])
+        attn_p, mlp_p = lp["attn"], lp["mlp"]
+        h = rms_norm(x, lp["input_norm"]["scale"], cfg.rms_norm_eps)
+        q = _lora_dense(attn_p, "wq", h, cfg).reshape(B, C, H, Dh)
+        k = _lora_dense(attn_p, "wk", h, cfg).reshape(B, C, KV, Dh)
+        v = _lora_dense(attn_p, "wv", h, cfg).reshape(B, C, KV, Dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        kc_f = k.transpose(0, 2, 1, 3)             # [B, KV, C, Dh]
+        vc_f = v.transpose(0, 2, 1, 3)
+        if quant:
+            kc, kc_sc = quantize_kv(kc_f)          # i8 [B,KV,C,Dh] / [B,KV,C]
+            vc, vc_sc = quantize_kv(vc_f)
+        else:
+            kc = kc_f.astype(ck_all.dtype)
+            vc = vc_f.astype(cv_all.dtype)
+        # per-row DUS chain, not a vector scatter — see decode_step: the
+        # scatter loses in-place updating and copies the full cache per layer
+        for b in range(B):
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, kc[b][None, None], (l, b, 0, write_pos[b], 0))
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, vc[b][None, None], (l, b, 0, write_pos[b], 0))
+            if quant:
+                cks_all = jax.lax.dynamic_update_slice(
+                    cks_all, kc_sc[b][None, None], (l, b, 0, write_pos[b]))
+                cvs_all = jax.lax.dynamic_update_slice(
+                    cvs_all, vc_sc[b][None, None], (l, b, 0, write_pos[b]))
+        if attn_impl == "pallas":
+            # per-row kernel calls (the chunk kernel streams one row's slab);
+            # contract: starts == 0
+            outs = [chunk_attention(q[b], ck_all, cv_all, jnp.int32(b),
+                                    write_pos[b], layer=l,
+                                    k_scale=cks_all, v_scale=cvs_all)
+                    for b in range(B)]
+            out = jnp.stack(outs)                  # [B, C, H, Dh]
+        else:
+            slab_k = ck_all[l]
+            slab_v = cv_all[l]
+            if quant:
+                slab_k = slab_k.astype(jnp.float32) * cks_all[l][..., None]
+                slab_v = slab_v.astype(jnp.float32) * cvs_all[l][..., None]
+            out = _chunk_attention_batched(q, slab_k, slab_v, chunk_phys,
+                                           starts, scale)
+        x = x + _lora_dense(attn_p, "wo", out.reshape(B, C, H * Dh), cfg)
+        h2 = rms_norm(x, lp["post_attn_norm"]["scale"], cfg.rms_norm_eps)
+        x = x + _mlp_block(mlp_p, h2, cfg)
+
+    x = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    out_cache = {"k": ck_all, "v": cv_all}
+    if quant:
+        out_cache["k_scale"], out_cache["v_scale"] = cks_all, cvs_all
+    return x, out_cache
+
+
 def decode_step_with_chunk(params, cfg: LlamaConfig, x: jnp.ndarray,
                            pos: jnp.ndarray, cache, cache_idx: jnp.ndarray,
                            chunk: jnp.ndarray, chunk_pos: jnp.ndarray,

@@ -49,6 +49,10 @@ MATRIX = {
     "decode_b1_cost_decomposition": {"BENCH_MODE": "decode_decomp"},
     "spec_decode_int8": {"BENCH_MODE": "spec_decode",
                          "BENCH_DECODE_QUANT": "1"},
+    "spec_decode_int8_b8_4k": {"BENCH_MODE": "spec_decode",
+                               "BENCH_DECODE_QUANT": "1",
+                               "BENCH_DECODE_BATCH": "8",
+                               "BENCH_DECODE_T0": "3968"},
     "render_sd15_512px": {"BENCH_MODE": "render"},
 }
 

@@ -166,3 +166,129 @@ def test_generate_spec_k_wiring(params):
     spec = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1,
                     spec_k=4)
     _check_equal(spec, ref)
+
+
+# ---- batched speculative decode ------------------------------------------
+
+
+def _padded_batch(params, rows, T0):
+    """Left-padded [B, T0] embeds + mask + ids from unpadded id rows."""
+    B = len(rows)
+    D = CFG.llama.hidden_size
+    embeds = jnp.zeros((B, T0, D), jnp.float32)
+    mask = np.zeros((B, T0), np.int32)
+    ids = np.zeros((B, T0), np.int32)
+    for b, r in enumerate(rows):
+        n = r.shape[1]
+        embeds = embeds.at[b, T0 - n:].set(
+            L.embed_tokens(params["llama"], r)[0])
+        mask[b, T0 - n:] = 1
+        ids[b, T0 - n:] = np.asarray(r[0])
+    return embeds, jnp.asarray(mask), jnp.asarray(ids)
+
+
+def _check_equal_batched(spec, out, B):
+    for b in range(B):
+        n = int(out["n_ids"][b])
+        assert int(spec["n_ids"][b]) == n, (b, int(spec["n_ids"][b]), n)
+        np.testing.assert_array_equal(np.asarray(spec["ids"][b][:n]),
+                                      np.asarray(out["ids"][b][:n]))
+        k = int(out["n_image_tokens"][b])
+        assert int(spec["n_image_tokens"][b]) == k
+        if k:
+            np.testing.assert_allclose(
+                np.asarray(spec["image_embeds"][b][:k]),
+                np.asarray(out["image_embeds"][b][:k]), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("spec_k", [1, 4])
+def test_batched_spec_matches_batched_greedy(params, spec_k):
+    """Ragged left-padded batch: per-row output must be bitwise the plain
+    batched greedy stream, drafts accepted or not."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import batched_greedy_decode_spec
+
+    rng = np.random.default_rng(11)
+    lens = [3, 6, 4]
+    T0 = max(lens)
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32)
+            for n in lens]
+    embeds, mask, ids = _padded_batch(params, rows, T0)
+    out = batched_greedy_decode(params, CFG, embeds, mask,
+                                max_new_tokens=8, max_images=1)
+    spec = batched_greedy_decode_spec(params, CFG, embeds, mask, ids,
+                                      max_new_tokens=8, max_images=1,
+                                      spec_k=spec_k)
+    _check_equal_batched(spec, out, len(lens))
+    assert int(spec["iters"]) <= int(np.max(np.asarray(spec["steps"])))
+
+
+def test_batched_spec_forced_image_mode(params):
+    """Rows entering image-emission mode degrade to 1-accept chunks but stay
+    exactly equivalent (image buffers included)."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import batched_greedy_decode_spec
+
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, IM_START_TOKEN_ID] = 10.0
+    kernel[:, LLAMA3_EOS_IDS[0]] = -10.0
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    rng = np.random.default_rng(6)  # both rows emit images with this seed
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32)
+            for n in (4, 2)]
+    embeds, mask, ids = _padded_batch(p, rows, 4)
+    out = batched_greedy_decode(p, CFG, embeds, mask,
+                                max_new_tokens=10, max_images=2)
+    spec = batched_greedy_decode_spec(p, CFG, embeds, mask, ids,
+                                      max_new_tokens=10, max_images=2,
+                                      spec_k=4)
+    _check_equal_batched(spec, out, 2)
+    assert int(np.asarray(out["n_image_tokens"]).max()) > 0  # mode exercised
+
+
+def test_batched_spec_with_kv_int8(params):
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import batched_greedy_decode_spec
+
+    rng = np.random.default_rng(13)
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32)
+            for n in (5, 3)]
+    embeds, mask, ids = _padded_batch(params, rows, 5)
+    out = batched_greedy_decode(params, CFG, embeds, mask,
+                                max_new_tokens=8, max_images=1, kv_int8=True)
+    spec = batched_greedy_decode_spec(params, CFG, embeds, mask, ids,
+                                      max_new_tokens=8, max_images=1,
+                                      spec_k=4, kv_int8=True)
+    _check_equal_batched(spec, out, 2)
+
+
+def test_batched_spec_accepts_on_repetitive_forced_model(params):
+    """Periodic forced model: every row's stream repeats, so chunk steps must
+    come in under the total transitions (the whole point at B>1: the cache
+    read amortizes too)."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import batched_greedy_decode_spec
+
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    rows = [jnp.asarray([[111, 222, 111, 222, 111, 222]], jnp.int32),
+            jnp.asarray([[222, 111, 222, 111]], jnp.int32)]
+    embeds, mask, ids = _padded_batch(p, rows, 6)
+    out = batched_greedy_decode(p, CFG, embeds, mask,
+                                max_new_tokens=14, max_images=2)
+    spec = batched_greedy_decode_spec(p, CFG, embeds, mask, ids,
+                                      max_new_tokens=14, max_images=2,
+                                      spec_k=6)
+    _check_equal_batched(spec, out, 2)
+    steps = np.asarray(spec["steps"])
+    if steps.min() >= 10 and int(np.asarray(spec["n_image_tokens"]).max()) == 0:
+        assert int(spec["iters"]) < int(steps.max())
