@@ -70,6 +70,9 @@ def main(argv=None):
                    help="default per-request budget (rows may override)")
     p.add_argument("--int8", action="store_true",
                    help="weight-only int8 quantized decode (ops/quant.py)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help=">1 enables speculative decoding for greedy rows "
+                        "(prompt-lookup drafts, exact verification)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (halves cache HBM traffic)")
     p.add_argument("--fill-chunk", type=int, default=256,
@@ -109,7 +112,8 @@ def main(argv=None):
                       max_new_tokens_cap=args.max_new_tokens,
                       fill_chunk=args.fill_chunk,
                       steps_per_sync=args.steps_per_sync,
-                      seed=args.seed, kv_int8=args.kv_int8)
+                      seed=args.seed, kv_int8=args.kv_int8,
+                      spec_k=args.spec_k)
     rows = [json.loads(l) for l in open(args.requests) if l.strip()]
     submit_order = {}
     for i, row in enumerate(rows):

@@ -255,6 +255,7 @@ def main(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=512)
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
+    p.add_argument("--spec-k", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -277,7 +278,7 @@ def main(argv=None):
     eng = ServeEngine(params, cfg, n_slots=args.n_slots,
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens, seed=args.seed,
-                      kv_int8=args.kv_int8)
+                      kv_int8=args.kv_int8, spec_k=args.spec_k)
     srv = MetaMorphHTTPServer(
         eng, host=args.host, port=args.port,
         encode=lambda s: tok(s).input_ids,

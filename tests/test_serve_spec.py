@@ -1,0 +1,158 @@
+"""Speculative continuous batching: a ServeEngine(spec_k>1) must produce,
+for every greedy request, exactly the completions of the plain engine
+(which are themselves pinned against single-request decode in
+test_serve.py) — drafts accepted or not — and accept for real on a
+periodic forced model (fewer scheduler ticks for the same tokens)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metamorph_tpu.config import (MetaMorphConfig, LlamaConfig, SiglipConfig,
+                                  MultimodalConfig, TrainConfig)
+from metamorph_tpu.constants import IM_START_TOKEN_ID, LLAMA3_EOS_IDS
+from metamorph_tpu.inference.serve import Request, ServeEngine
+from metamorph_tpu.models import llama as L
+from metamorph_tpu.models import metamorph as M
+
+CFG = MetaMorphConfig(
+    llama=LlamaConfig.tiny(vocab_size=128258),
+    siglip=SiglipConfig.tiny(),
+    mm=MultimodalConfig(num_image_tokens=3),
+    train=TrainConfig(max_seq_len=64),
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return M.init_metamorph_params(jax.random.PRNGKey(7), CFG,
+                                   dtype=jnp.float32)
+
+
+def _engine(params, spec_k, **kw):
+    base = dict(n_slots=2, max_cache_len=64, max_new_tokens_cap=16,
+                max_images=2, prefill_buckets=(8, 16), steps_per_sync=3)
+    base.update(kw)
+    return ServeEngine(params, CFG, spec_k=spec_k, **base)
+
+
+def _id_reqs(seed, lens, budgets):
+    rng = np.random.default_rng(seed)
+    return [Request(prompt_ids=rng.integers(10, 1000, (t0,)).astype(np.int32),
+                    max_new_tokens=b, uid=i)
+            for i, (t0, b) in enumerate(zip(lens, budgets))]
+
+
+def _by_uid(done):
+    return {c.uid: c for c in done}
+
+
+def _assert_same(a, b):
+    assert sorted(a) == sorted(b)
+    for uid in a:
+        np.testing.assert_array_equal(a[uid].ids, b[uid].ids)
+        assert a[uid].image_embeds.shape == b[uid].image_embeds.shape
+        if a[uid].image_embeds.size:
+            np.testing.assert_allclose(a[uid].image_embeds,
+                                       b[uid].image_embeds,
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_spec_engine_matches_plain_engine(params):
+    """Greedy ids-path requests (drafting source = prompt + generated)."""
+    lens, budgets = [6, 9, 4], [10, 7, 12]
+    plain = _by_uid(_run(params, 0, lens, budgets))
+    spec = _by_uid(_run(params, 4, lens, budgets))
+    _assert_same(plain, spec)
+
+
+def _run(params, spec_k, lens, budgets, seed=0):
+    eng = _engine(params, spec_k)
+    for r in _id_reqs(seed, lens, budgets):
+        eng.submit(r)
+    return eng.run()
+
+
+def test_spec_engine_embeds_path(params):
+    """Pre-fused embeds admissions draft from generated ids only — still
+    exactly equivalent."""
+    rng = np.random.default_rng(2)
+    reqs = []
+    for i, (t0, b) in enumerate(zip([5, 7], [8, 8])):
+        ids = jnp.asarray(rng.integers(10, 1000, (1, t0)).astype(np.int32))
+        pe = np.asarray(L.embed_tokens(params["llama"], ids)[0])
+        reqs.append(Request(prompt_embeds=pe, max_new_tokens=b, uid=i))
+    outs = []
+    for spec_k in (0, 4):
+        eng = _engine(params, spec_k)
+        for r in reqs:
+            eng.submit(r)
+        outs.append(_by_uid(eng.run()))
+    _assert_same(outs[0], outs[1])
+
+
+def test_spec_engine_image_mode(params):
+    """Rows that enter image-emission mode stay exactly equivalent through
+    the spec engine (chain stops at the special token)."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, IM_START_TOKEN_ID] = 10.0
+    kernel[:, LLAMA3_EOS_IDS[0]] = -10.0
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+    lens, budgets = [6, 4], [10, 10]
+    plain = _by_uid(_run(p, 0, lens, budgets, seed=6))
+    spec = _by_uid(_run(p, 4, lens, budgets, seed=6))
+    _assert_same(plain, spec)
+    assert max(c.image_embeds.shape[0] for c in plain.values()) > 0
+
+
+def test_spec_engine_mixed_sampling(params):
+    """A sampling request shares the batch with greedy rows: the greedy rows'
+    outputs must still equal the plain engine's (the sampled row is
+    stochastic either way — just has to complete and validate)."""
+    lens, budgets = [6, 5], [8, 8]
+    outs = []
+    for spec_k in (0, 4):
+        eng = _engine(params, spec_k)
+        reqs = _id_reqs(9, lens, budgets)
+        reqs[1].temperature = 0.8
+        reqs[1].uid = "sampled"
+        for r in reqs:
+            eng.submit(r)
+        outs.append(_by_uid(eng.run()))
+    for o in outs:
+        assert set(o) == {0, "sampled"}
+        assert len(o["sampled"].ids) > 0
+    np.testing.assert_array_equal(outs[0][0].ids, outs[1][0].ids)
+
+
+def test_spec_engine_accepts_fewer_ticks(params):
+    """Periodic forced model (output provably cycles): the spec engine must
+    finish the same work in fewer scheduler ticks — the acceptance payoff."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    def ticks(spec_k):
+        eng = _engine(p, spec_k, n_slots=1, steps_per_sync=2)
+        eng.submit(Request(
+            prompt_ids=np.asarray([111, 222, 111, 222, 111, 222], np.int32),
+            max_new_tokens=14, uid="r"))
+        t = 0
+        while eng.pending or any(u is not None for u in eng.slot_uid):
+            eng.step()
+            t += 1
+        (done,) = eng.completed
+        return t, done
+
+    t_plain, d_plain = ticks(0)
+    t_spec, d_spec = ticks(6)
+    np.testing.assert_array_equal(d_plain.ids, d_spec.ids)
+    if len(d_plain.ids) >= 10:
+        assert t_spec < t_plain, (t_spec, t_plain)
