@@ -553,7 +553,9 @@ def bench_serve(cfg, size):
                               "BENCH_SERVE_SYNC", 16)),
                           fill_chunk=int(os.environ.get(
                               "BENCH_SERVE_FILL", 0)),
-                          kv_int8=kv_int8)
+                          kv_int8=kv_int8,
+                          spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K",
+                                                    0)))
         for r in reqs:
             eng.submit(r)
         done = eng.run()

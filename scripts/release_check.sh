@@ -29,6 +29,7 @@ run_mode() { # name, env...
   echo "\"decode_b1_int8\": $(run_mode decode_i8 BENCH_MODE=decode BENCH_DECODE_QUANT=1),"
   echo "\"serve\": $(run_mode serve BENCH_MODE=serve),"
   echo "\"serve_int8\": $(run_mode serve_i8 BENCH_MODE=serve BENCH_SERVE_QUANT=1),"
+  echo "\"spec_decode_int8\": $(run_mode spec_i8 BENCH_MODE=spec_decode BENCH_DECODE_QUANT=1),"
   echo "\"encode\": $(run_mode encode BENCH_MODE=encode),"
   echo "\"render\": $(run_mode render BENCH_MODE=render),"
 
