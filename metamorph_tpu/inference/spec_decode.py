@@ -120,21 +120,32 @@ def _advance1(params, cfg: MetaMorphConfig, state: SpecState,
     return state, tok, emit_image
 
 
-def make_ngram_draft(n_draft: int):
+def make_ngram_draft(n_draft: int, max_ngram: int = 3):
     """Prompt-lookup drafting: find the most recent earlier occurrence of the
-    last bigram in ids_all[:n_all] and propose the n_draft tokens that
-    followed it (-1 where no draft). O(cap) vector ops per step."""
+    LONGEST matching suffix n-gram (n = max_ngram down to 2) in
+    ids_all[:n_all] and propose the n_draft tokens that followed it (-1 where
+    no draft). Longer context keys disambiguate repeated bigrams (e.g. 'the'
+    pairs), which measurably raises acceptance on structured text. O(cap)
+    vector ops per n per step."""
 
     def draft(ids_all: jnp.ndarray, n_all: jnp.ndarray) -> jnp.ndarray:
         cap = ids_all.shape[0]
-        a = jax.lax.dynamic_slice(ids_all, (n_all - 2,), (1,))[0]
-        b = jax.lax.dynamic_slice(ids_all, (n_all - 1,), (1,))[0]
-        i = jnp.arange(cap - 1)
-        m = (ids_all[:-1] == a) & (ids_all[1:] == b) & (i < n_all - 2)
-        j = jnp.max(jnp.where(m, i, -1))
-        idx = j + 2 + jnp.arange(n_draft)
+        start = jnp.int32(-1)           # draft start (position after match)
+        for n in range(2, max_ngram + 1):
+            p = jnp.arange(cap - n)
+            m = jnp.ones((cap - n,), bool)
+            for k in range(n):
+                tk = jax.lax.dynamic_slice(ids_all, (n_all - n + k,), (1,))[0]
+                m = m & (ids_all[k:cap - n + k] == tk)
+            # strictly earlier occurrence with >= 1 real token after it
+            m = m & (p < n_all - n)
+            j = jnp.max(jnp.where(m, p, -1))
+            j = jnp.where(n_all >= n + 1, j, -1)
+            # longer n overrides: this loop ends on the longest match found
+            start = jnp.where(j >= 0, j + n, start)
+        idx = start + jnp.arange(n_draft)
         d = ids_all[jnp.clip(idx, 0, cap - 1)]
-        return jnp.where((j >= 0) & (idx < n_all), d, -1)
+        return jnp.where((start >= 0) & (idx < n_all), d, -1)
 
     return draft
 

@@ -292,3 +292,31 @@ def test_batched_spec_accepts_on_repetitive_forced_model(params):
     steps = np.asarray(spec["steps"])
     if steps.min() >= 10 and int(np.asarray(spec["n_image_tokens"]).max()) == 0:
         assert int(spec["iters"]) < int(steps.max())
+
+
+def test_ngram_draft_prefers_longest_suffix_match():
+    """Two earlier occurrences of the last bigram, but only one extends to a
+    trigram match: the drafter must follow the trigram continuation, not the
+    more recent bigram-only one."""
+    from metamorph_tpu.inference.spec_decode import make_ngram_draft
+
+    draft = make_ngram_draft(3, max_ngram=3)
+    # history: [9, 5, 6, 71, 72, 73,   8, 5, 6, 99,   9, 5, 6]
+    # suffix trigram (9,5,6) matches position 0 (-> 71,72,73); the more
+    # recent bigram (5,6) at position 7 (-> 99) must lose.
+    hist = np.asarray([9, 5, 6, 71, 72, 73, 8, 5, 6, 99, 9, 5, 6, -1, -1],
+                      np.int32)
+    out = np.asarray(draft(jnp.asarray(hist), jnp.int32(13)))
+    np.testing.assert_array_equal(out, [71, 72, 73])
+
+    # no match at all -> all -1
+    hist2 = np.asarray([1, 2, 3, 4, 5, 6, -1, -1], np.int32)
+    out2 = np.asarray(draft(jnp.asarray(hist2), jnp.int32(6)))
+    np.testing.assert_array_equal(out2, [-1, -1, -1])
+
+    # bigram-only match still drafts (falls back past the trigram miss);
+    # the continuation keeps proposing real history tokens (here: 42, 43,
+    # then the 9 that follows them)
+    hist3 = np.asarray([5, 6, 42, 43, 9, 5, 6, -1], np.int32)
+    out3 = np.asarray(draft(jnp.asarray(hist3), jnp.int32(7)))
+    np.testing.assert_array_equal(out3, [42, 43, 9])
