@@ -537,10 +537,11 @@ def decode_chunk_step_batched(params, cfg: LlamaConfig, xc: jnp.ndarray,
     entries past a row's accepted point are stale but are overwritten by the
     next chunk before its length can reach them.
 
-    attn_impl "pallas" routes per-row slabs through the chunk kernel
-    (ops/decode_attention.chunk_attention) and requires starts == 0 (unpadded
-    rows — the serving layout); "xla" handles arbitrary left padding."""
-    from metamorph_tpu.ops.decode_attention import chunk_attention
+    attn_impl "pallas" routes through the batched chunk kernel
+    (ops/decode_attention.chunk_attention_batched) and requires starts == 0
+    (unpadded rows — the serving layout); "xla" handles arbitrary left
+    padding."""
+    from metamorph_tpu.ops.decode_attention import chunk_attention_batched
 
     B, C, _ = xc.shape
     H, KV, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -585,13 +586,11 @@ def decode_chunk_step_batched(params, cfg: LlamaConfig, xc: jnp.ndarray,
                 cvs_all = jax.lax.dynamic_update_slice(
                     cvs_all, vc_sc[b][None, None], (l, b, 0, write_pos[b]))
         if attn_impl == "pallas":
-            # per-row kernel calls (the chunk kernel streams one row's slab);
-            # contract: starts == 0
-            outs = [chunk_attention(q[b], ck_all, cv_all, jnp.int32(b),
-                                    write_pos[b], layer=l,
-                                    k_scale=cks_all, v_scale=cvs_all)
-                    for b in range(B)]
-            out = jnp.stack(outs)                  # [B, C, H, Dh]
+            # batched chunk kernel: one grid program per (row, kv head,
+            # cache block), per-row ragged offsets; contract: starts == 0
+            out = chunk_attention_batched(q, ck_all, cv_all, write_pos,
+                                          layer=l, k_scale=cks_all,
+                                          v_scale=cvs_all)
         else:
             slab_k = ck_all[l]
             slab_v = cv_all[l]

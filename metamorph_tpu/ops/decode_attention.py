@@ -336,6 +336,128 @@ def chunk_attention(
     return o.reshape(KV, G, C, Dh).transpose(2, 0, 1, 3).reshape(C, H, Dh)
 
 
+def _chunk_kernel_batched(off_ref,                # scalar prefetch [B]
+                          q_ref,                  # [1, 1, G*C, Dh]
+                          k_ref, v_ref,           # [1, 1, 1, BS, Dh]
+                          *rest,
+                          scale, block_s, n_s, chunk, group, quantized=False):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc, m_i, l_i = rest
+    else:
+        o_ref, acc, m_i, l_i = rest
+    b, j = pl.program_id(0), pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+        m_i[...] = jnp.full_like(m_i, NEG_INF)
+        l_i[...] = jnp.zeros_like(l_i)
+
+    off = off_ref[b]
+    k_start = j * block_s
+    rows = group * chunk
+
+    @pl.when(k_start <= off + chunk - 1)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)            # [G*C, Dh]
+        k = k_ref[0, 0, 0].astype(jnp.float32)         # [BS, Dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if quantized:
+            s = s * ks_ref[0, 0, 0][None, :]
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 1)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, block_s), 0) % chunk
+        mask = col <= off + c
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_i[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_i[...] = jnp.broadcast_to(
+            alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape)
+        v = v_ref[0, 0, 0].astype(jnp.float32)
+        if quantized:
+            p = p * vs_ref[0, 0, 0][None, :]
+        acc[...] = acc[...] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+
+    @pl.when(j == n_s - 1)
+    def _finish():
+        l = l_i[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
+
+
+def chunk_attention_batched(
+    q: jnp.ndarray,          # [B, C, H, Dh] — every row's chunk queries
+    k: jnp.ndarray,          # [L, B, KV, S, Dh] stacked cache
+    v: jnp.ndarray,
+    offs: jnp.ndarray,       # [B] int32 — per-row position of q[b, 0]
+    layer: int,
+    block_s: int = 512,
+    scale: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # [L, B, KV, S] fp32: int8 cache
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batched causal-with-offset chunk attention (speculative decoding path,
+    `llama.decode_chunk_step_batched`): every batch row b verifies its own
+    C-token chunk against ITS cache row at ITS ragged offset offs[b] — one
+    grid program per (row, kv head, cache block), each streaming one [BS, Dh]
+    cache block once. Cache row index == batch row index (the serving layout:
+    unpadded rows, starts at 0). Returns [B, C, H, Dh] in q.dtype."""
+    B, C, H, Dh = q.shape
+    KV, S = k.shape[2], k.shape[3]
+    G = H // KV
+    quantized = k_scale is not None
+    scale = scale if scale is not None else Dh ** -0.5
+    block_s = min(block_s, S)
+    n_s = _cdiv(S, block_s)
+    qg = q.reshape(B, C, KV, G, Dh).transpose(0, 2, 3, 1, 4) \
+          .reshape(B, KV, G * C, Dh)
+
+    def kv_index(b, h, j, off_ref):
+        return (layer, b, h, j, 0)
+
+    def sc_index(b, h, j, off_ref):
+        return (layer, b, h, j)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G * C, Dh), lambda b, h, j, *_: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+        pl.BlockSpec((1, 1, 1, block_s, Dh), kv_index),
+    ]
+    operands = [qg, k, v]
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, 1, block_s), sc_index),
+                     pl.BlockSpec((1, 1, 1, block_s), sc_index)]
+        operands += [k_scale, v_scale]
+    kernel = functools.partial(_chunk_kernel_batched, scale=scale,
+                               block_s=block_s, n_s=n_s, chunk=C, group=G,
+                               quantized=quantized)
+    o = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, KV, n_s),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, G * C, Dh),
+                                   lambda b, h, j, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((G * C, Dh), jnp.float32),
+                pltpu.VMEM((G * C, LANES), jnp.float32),
+                pltpu.VMEM((G * C, LANES), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KV, G * C, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(offs.astype(jnp.int32), *operands)
+    return o.reshape(B, KV, G, C, Dh).transpose(0, 3, 1, 2, 4) \
+            .reshape(B, C, H, Dh)
+
+
 def decode_attention_xla(
     q: jnp.ndarray,        # [B, H, Dh]
     k: jnp.ndarray,        # [B, KV, S, Dh] — bf16, or int8 with k_scale

@@ -113,3 +113,76 @@ def test_chunk_attention_kernel_matches_xla():
                                         pos, Dh ** -0.5)
                 np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                            rtol=2e-5, atol=2e-5)
+
+
+def test_chunk_attention_batched_kernel_matches_xla():
+    """Batched chunk kernel (speculative decoding path) == per-row masked-dot
+    reference at ragged per-row offsets, fp32 and int8 cache."""
+    from metamorph_tpu.ops.decode_attention import chunk_attention_batched
+    from metamorph_tpu.models.llama import _chunk_attention
+    from metamorph_tpu.ops.quant import quantize_kv
+
+    rng = np.random.default_rng(4)
+    L, B, KV, S, Dh, G, C = 2, 3, 2, 32, 8, 2, 4
+    H = KV * G
+    k = jnp.asarray(rng.normal(size=(L, B, KV, S, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(L, B, KV, S, Dh)).astype(np.float32))
+    offs = jnp.asarray([0, 9, 23], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(B, C, H, Dh)).astype(np.float32))
+    for layer in (0, 1):
+        got = chunk_attention_batched(q, k, v, offs, layer=layer, block_s=16)
+        for b in range(B):
+            pos = offs[b] + jnp.arange(C, dtype=jnp.int32)
+            want = _chunk_attention(q[b], k[layer, b], v[layer, b], pos,
+                                    Dh ** -0.5)
+            np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+
+    # int8 cache: kernel dequantizes in-kernel == explicit dequant reference
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    got = chunk_attention_batched(q, kq, vq, offs, layer=1,
+                                  block_s=16, k_scale=ks, v_scale=vs)
+    kd = kq.astype(jnp.float32) * ks[..., None]
+    vd = vq.astype(jnp.float32) * vs[..., None]
+    for b in range(B):
+        pos = offs[b] + jnp.arange(C, dtype=jnp.int32)
+        want = _chunk_attention(q[b], kd[1, b], vd[1, b], pos, Dh ** -0.5)
+        np.testing.assert_allclose(np.asarray(got[b]), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_batched_spec_decode_pallas_matches_xla():
+    """batched_greedy_decode_spec(attn_impl='pallas') through the batched
+    chunk kernel == the xla chunk path (equal-length unpadded rows)."""
+    from metamorph_tpu.config import (MetaMorphConfig, LlamaConfig,
+                                      SiglipConfig, MultimodalConfig,
+                                      TrainConfig)
+    from metamorph_tpu.inference.spec_decode import batched_greedy_decode_spec
+    from metamorph_tpu.models import metamorph as M
+
+    cfg = MetaMorphConfig(
+        llama=LlamaConfig.tiny(vocab_size=128258),
+        siglip=SiglipConfig.tiny(),
+        mm=MultimodalConfig(num_image_tokens=3),
+        train=TrainConfig(max_seq_len=64),
+    )
+    params = M.init_metamorph_params(jax.random.PRNGKey(7), cfg, jnp.float32)
+    rng = np.random.default_rng(9)
+    B, T0 = 2, 6
+    ids = jnp.asarray(rng.integers(10, 1000, (B, T0)).astype(np.int32))
+    from metamorph_tpu.models.llama import embed_tokens
+    pe = embed_tokens(params["llama"], ids)
+    mask = jnp.ones((B, T0), jnp.int32)
+    a = batched_greedy_decode_spec(params, cfg, pe, mask, ids,
+                                   max_new_tokens=8, max_images=1, spec_k=4,
+                                   attn_impl="xla")
+    b = batched_greedy_decode_spec(params, cfg, pe, mask, ids,
+                                   max_new_tokens=8, max_images=1, spec_k=4,
+                                   attn_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a["ids"]), np.asarray(b["ids"]))
+    np.testing.assert_array_equal(np.asarray(a["n_ids"]),
+                                  np.asarray(b["n_ids"]))
+    np.testing.assert_allclose(np.asarray(a["image_embeds"]),
+                               np.asarray(b["image_embeds"]),
+                               rtol=1e-5, atol=1e-5)
