@@ -397,6 +397,32 @@ def bench_spec_decode(cfg, size):
     accept = float(np.mean(np.asarray(out_e["steps"]))) \
         / max(int(out_e["iters"]), 1)
 
+    # regime (c), B=1 only: draft-MODEL speculation ceiling — a small random
+    # drafter given the same periodic forced head (built over ITS embedding
+    # table) agrees with the main model on every token, so this measures the
+    # real cost structure (drafter steps + chunk verify) at full acceptance
+    draft_tok_s = None
+    if B == 1:
+        from metamorph_tpu.config import LlamaConfig
+        from metamorph_tpu.inference.spec_decode import \
+            greedy_decode_spec_draft_model
+        from metamorph_tpu.models.llama import init_llama_params
+
+        dcfg = LlamaConfig(vocab_size=cfg.llama.vocab_size, hidden_size=512,
+                           intermediate_size=2048, num_layers=4, num_heads=8,
+                           num_kv_heads=4, head_dim=64, rope_scaling=False)
+        dparams = init_llama_params(jax.random.PRNGKey(1), dcfg,
+                                    jnp.bfloat16)
+        demb = np.asarray(dparams["embed"]["embedding"], np.float32)
+        dk = np.zeros((dcfg.hidden_size, V), np.float32)
+        for j, t in enumerate(cycle):
+            dk[:, cycle[(j + 1) % len(cycle)]] += demb[t] * 5.0
+        dparams = dict(dparams)
+        dparams["lm_head"] = {"kernel": jnp.asarray(dk, jnp.bfloat16)}
+        draft_tok_s, _ = timed(lambda i: greedy_decode_spec_draft_model(
+            p_echo, dparams, cfg, dcfg, e_prompt, e_ids[0],
+            spec_k=SPEC_K, **common))
+
     print(json.dumps({
         "metric": (f"speculative B={B} decode tok/s ({size} LLM, T0={T0}, "
                    f"spec_k={SPEC_K}; echo regime = periodic-output model "
@@ -411,6 +437,8 @@ def bench_spec_decode(cfg, size):
         "random_model_greedy_tok_s": round(greedy_tok_s, 1),
         "random_model_ngram_tok_s": round(ngram_tok_s, 1),
         "attn_impl": attn,
+        **({"echo_draft_model_tok_s": round(draft_tok_s, 1)}
+           if draft_tok_s is not None else {}),
     }))
 
 

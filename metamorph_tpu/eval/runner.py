@@ -177,6 +177,9 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N rows per task")
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help=">1 enables speculative decoding in the engine "
+                        "(exact for the greedy eval requests)")
     args = p.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -216,7 +219,8 @@ def main(argv=None):
             load_frames=frames_of, metric=metric, n_slots=args.n_slots,
             max_cache_len=args.max_cache_len,
             max_new_tokens=args.max_new_tokens,
-            bos_token_id=tok.bos_token_id)
+            bos_token_id=tok.bos_token_id,
+            engine_kwargs={"spec_k": args.spec_k} if args.spec_k else None)
         print(json.dumps({"task": name, "metric": metric,
                           "accuracy": res["accuracy"], "n": res["n"],
                           "new_tokens_per_sec": res["new_tokens_per_sec"]}))

@@ -153,6 +153,64 @@ def make_ngram_draft(n_draft: int, max_ngram: int = 3):
 _SPECIAL = (IM_START_TOKEN_ID, IM_END_TOKEN_ID)
 
 
+def _accept_chain(params, cfg: MetaMorphConfig, s1: SpecState,
+                  tok1: jnp.ndarray, emit1: jnp.ndarray,
+                  drafts: jnp.ndarray, h: jnp.ndarray, Km1: int,
+                  max_new: int, special_arr, eos_arr) -> SpecState:
+    """Extra acceptances after the chunk's first (always-applied) transition:
+    the plain-text prefix chain through the drafted positions. Shared by the
+    prompt-lookup and draft-model B=1 loops."""
+    preds = jnp.argmax(
+        llama_lib.lm_head(params["llama"], cfg.llama, h[1:]),
+        axis=-1).astype(jnp.int32)                           # [Km1]
+    base_ok = (~emit1 & ~s1.done
+               & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
+
+    ids, ids_all = s1.ids, s1.ids_all
+    n_extra = jnp.int32(0)
+    last_tok = tok1
+    eos_acc = jnp.asarray(False)
+    start_acc = jnp.asarray(False)
+    end_acc = jnp.asarray(False)
+    ok_chain = base_ok
+    prev = tok1
+    for i in range(Km1):
+        ok_i = ok_chain & (drafts[i] == prev)
+        acc_i = ok_i & (s1.steps + i < max_new)
+        cand = preds[i]
+        special_i = jnp.isin(cand, special_arr)
+        # record (acceptance is a prefix chain -> slot i past n_ids)
+        old = jax.lax.dynamic_slice(ids, (s1.n_ids + i,), (1,))
+        ids = jax.lax.dynamic_update_slice(
+            ids, jnp.where(acc_i, cand, old[0])[None], (s1.n_ids + i,))
+        old_a = jax.lax.dynamic_slice(ids_all, (s1.n_all + i,), (1,))
+        ids_all = jax.lax.dynamic_update_slice(
+            ids_all, jnp.where(acc_i, cand, old_a[0])[None],
+            (s1.n_all + i,))
+        n_extra = n_extra + acc_i.astype(jnp.int32)
+        last_tok = jnp.where(acc_i, cand, last_tok)
+        eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
+        start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
+        end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
+        ok_chain = acc_i & ~special_i
+        prev = cand
+
+    any_extra = n_extra > 0
+    tok_embed = llama_lib.embed_tokens(params["llama"],
+                                       last_tok[None])     # [1, D]
+    next_embed = jnp.where(any_extra, tok_embed[None], s1.next_embed)
+    steps = s1.steps + n_extra
+    return s1._replace(
+        ids=ids, ids_all=ids_all,
+        n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
+        cache_len=s1.cache_len + n_extra,
+        next_embed=next_embed,
+        in_image=jnp.where(start_acc, True, s1.in_image),
+        img_count=jnp.where(end_acc, 0, s1.img_count),
+        steps=steps,
+        done=s1.done | eos_acc | (steps >= max_new))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_new_tokens", "max_images", "max_cache_len", "stop_ids",
     "prefill_attn_impl", "attn_impl", "kv_int8", "spec_k", "draft_fn"))
@@ -242,57 +300,8 @@ def greedy_decode_spec(
 
         if Km1 == 0:
             return s1
-
-        # extra acceptances: plain-text chain through the drafted positions
-        preds = jnp.argmax(
-            llama_lib.lm_head(params["llama"], cfg.llama, h[1:]),
-            axis=-1).astype(jnp.int32)                           # [Km1]
-        base_ok = (~emit1 & ~s1.done
-                   & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
-
-        ids, ids_all = s1.ids, s1.ids_all
-        n_extra = jnp.int32(0)
-        last_tok = tok1
-        eos_acc = jnp.asarray(False)
-        start_acc = jnp.asarray(False)
-        end_acc = jnp.asarray(False)
-        ok_chain = base_ok
-        prev = tok1
-        for i in range(Km1):
-            ok_i = ok_chain & (drafts[i] == prev)
-            acc_i = ok_i & (s1.steps + i < max_new_tokens)
-            cand = preds[i]
-            special_i = jnp.isin(cand, special_arr)
-            # record (acceptance is a prefix chain -> slot i past n_ids)
-            old = jax.lax.dynamic_slice(ids, (s1.n_ids + i,), (1,))
-            ids = jax.lax.dynamic_update_slice(
-                ids, jnp.where(acc_i, cand, old[0])[None], (s1.n_ids + i,))
-            old_a = jax.lax.dynamic_slice(ids_all, (s1.n_all + i,), (1,))
-            ids_all = jax.lax.dynamic_update_slice(
-                ids_all, jnp.where(acc_i, cand, old_a[0])[None],
-                (s1.n_all + i,))
-            n_extra = n_extra + acc_i.astype(jnp.int32)
-            last_tok = jnp.where(acc_i, cand, last_tok)
-            eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
-            start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
-            end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
-            ok_chain = acc_i & ~special_i
-            prev = cand
-
-        any_extra = n_extra > 0
-        tok_embed = llama_lib.embed_tokens(params["llama"],
-                                           last_tok[None])     # [1, D]
-        next_embed = jnp.where(any_extra, tok_embed[None], s1.next_embed)
-        steps = s1.steps + n_extra
-        return s1._replace(
-            ids=ids, ids_all=ids_all,
-            n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
-            cache_len=s1.cache_len + n_extra,
-            next_embed=next_embed,
-            in_image=jnp.where(start_acc, True, s1.in_image),
-            img_count=jnp.where(end_acc, 0, s1.img_count),
-            steps=steps,
-            done=s1.done | eos_acc | (steps >= max_new_tokens))
+        return _accept_chain(params, cfg, s1, tok1, emit1, drafts, h, Km1,
+                             max_new_tokens, special_arr, eos_arr)
 
     state = jax.lax.while_loop(cond, body, state)
     return {
@@ -567,4 +576,172 @@ def _batched_greedy_decode_spec(
         "n_image_tokens": state.n_img,
         "steps": state.steps,
         "iters": state.iters,
+    }
+
+
+class DraftModelState(NamedTuple):
+    main: SpecState
+    d_cache: Dict[str, jnp.ndarray]   # drafter KV cache (B=1)
+    d_len: jnp.ndarray                # int32 — drafter tokens ingested
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_new_tokens", "max_images", "max_cache_len",
+    "stop_ids", "prefill_attn_impl", "attn_impl", "kv_int8", "spec_k"))
+def greedy_decode_spec_draft_model(
+    params: Any,
+    draft_params: Any,            # plain LLaMA param tree (the small model)
+    cfg: MetaMorphConfig,
+    draft_cfg,                    # LlamaConfig of the drafter
+    prompt_embeds: jnp.ndarray,   # [1, T0, D] fused prompt (main model)
+    prompt_ids: jnp.ndarray,      # [T0] int32 — the drafter's view of the
+                                  # prompt (image-slot placeholders included;
+                                  # the drafter is blind to image content)
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+    stop_ids: tuple = (),
+    prefill_attn_impl: str = "xla",
+    attn_impl: str = "xla",
+    kv_int8: bool = False,
+    spec_k: int = 8,
+) -> Dict[str, jnp.ndarray]:
+    """Draft-MODEL speculative decoding (classic two-model scheme): a small
+    LLaMA proposes spec_k-1 tokens sequentially (cheap — its weights are a
+    fraction of the main model's HBM stream), and the main model verifies
+    them in ONE chunk step. Pays off on ANY text the drafter predicts well —
+    not just prompt echoes. Output is exactly `decode.greedy_decode`'s (same
+    verification as `greedy_decode_spec`).
+
+    Drafter bookkeeping: the drafter tracks the ID stream only (its own
+    positions — continuous image embeddings are invisible to it; while the
+    main row is in image-emission mode chunks degenerate to 1-accept, same
+    as prompt-lookup). Each iteration the drafter first CATCHES UP on the
+    ids accepted since its last sync via one chunk step — junk tail
+    positions in that chunk are never read by valid queries (query c reads
+    keys <= p0 + c) and are overwritten by the next catch-up — then rolls
+    spec_k-1 single-token steps to propose.
+
+    The reference has no speculation (full recompute per token,
+    `metamorph/model/language_model/metamorph_llama.py:510`)."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    T0 = prompt_embeds.shape[1]
+    Km1 = spec_k - 1
+    assert Km1 >= 1, "spec_k must be >= 2 for draft-model speculation"
+    cache_len_total = max_cache_len or (T0 + max_new_tokens + spec_k + 8)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, 1, cache_len_total,
+                                    dtype=dtype, quantized=kv_int8)
+    pos = jnp.arange(T0, dtype=jnp.int32)[None]
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos,
+        jnp.ones((1, T0), jnp.int32), cache, attn_impl=prefill_attn_impl)
+
+    # drafter prefill over the prompt ids (its own embedding table)
+    d_cache = llama_lib.init_kv_cache(draft_cfg, 1, cache_len_total,
+                                      dtype=dtype)
+    d_prompt = llama_lib.embed_tokens(
+        draft_params, prompt_ids.astype(jnp.int32)[None]).astype(dtype)
+    _, d_cache = llama_lib.prefill(
+        draft_params, draft_cfg, d_prompt, pos,
+        jnp.ones((1, T0), jnp.int32), d_cache, attn_impl=prefill_attn_impl)
+
+    # + spec_k: the drafter's catch-up dynamic_slice must never clamp-shift
+    cap = T0 + max_new_tokens + spec_k + 4
+    ids_all = jnp.full((cap,), -1, jnp.int32)
+    ids_all = ids_all.at[:T0].set(prompt_ids.astype(jnp.int32))
+
+    main = SpecState(
+        cache=cache,
+        cache_len=jnp.int32(T0),
+        next_embed=jnp.zeros((1, 1, D), dtype),
+        in_image=jnp.asarray(False),
+        img_count=jnp.int32(0),
+        ids=jnp.full((max_new_tokens,), -1, jnp.int32),
+        n_ids=jnp.int32(0),
+        img_embeds=jnp.zeros((max_images * K, Dv), jnp.float32),
+        n_img=jnp.int32(0),
+        steps=jnp.int32(0),
+        done=jnp.asarray(False),
+        ids_all=ids_all,
+        n_all=jnp.int32(T0),
+        iters=jnp.int32(0),
+    )
+    main, _, _ = _advance1(params, cfg, main, h_all[:, -1], K,
+                           max_new_tokens, stop_ids)
+    state = DraftModelState(main=main, d_cache=d_cache, d_len=jnp.int32(T0))
+
+    eos_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32)
+    special_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids + _SPECIAL,
+                              jnp.int32)
+
+    def cond(st: DraftModelState):
+        return ~st.main.done
+
+    def body(st: DraftModelState):
+        s, d_cache, d_len = st.main, st.d_cache, st.d_len
+
+        # 1. drafter catch-up: ingest ids_all[d_len : n_all] (one chunk; the
+        #    junk tail past `valid` is never read by valid queries and the
+        #    next catch-up overwrites it)
+        valid = s.n_all - d_len                       # in [0, spec_k]
+        cu_ids = jax.lax.dynamic_slice(s.ids_all, (d_len,), (spec_k,))
+        cu_emb = llama_lib.embed_tokens(
+            draft_params, jnp.maximum(cu_ids, 0)).astype(dtype)
+        cu_pos = d_len + jnp.arange(spec_k, dtype=jnp.int32)
+        hd, d_cache = llama_lib.decode_chunk_step(
+            draft_params, draft_cfg, cu_emb, cu_pos, d_cache,
+            attn_impl="xla")
+        d_len = d_len + valid
+
+        # 2. sequential drafting: Km1 small-model steps from the last valid
+        #    hidden state (positions overwritten by the next catch-up)
+        h_last = jax.lax.dynamic_slice(
+            hd, (jnp.maximum(valid - 1, 0), 0), (1, hd.shape[1]))
+        drafts = []
+        d_tok = jnp.argmax(
+            llama_lib.lm_head(draft_params, draft_cfg, h_last),
+            axis=-1).astype(jnp.int32)                # [1]
+        for j in range(Km1):
+            drafts.append(d_tok[0])
+            if j == Km1 - 1:
+                break
+            d_emb = llama_lib.embed_tokens(draft_params, d_tok)[None]
+            hj, d_cache = llama_lib.decode_step(
+                draft_params, draft_cfg, d_emb.astype(dtype),
+                (d_len + j)[None, None], d_cache, d_len + j,
+                attn_impl="xla")
+            d_tok = jnp.argmax(
+                llama_lib.lm_head(draft_params, draft_cfg, hj[:, 0]),
+                axis=-1).astype(jnp.int32)
+        drafts = jnp.stack(drafts)                    # [Km1]
+
+        # 3. main-model chunk verification (identical to greedy_decode_spec)
+        d_emb = llama_lib.embed_tokens(
+            params["llama"], jnp.maximum(drafts, 0)).astype(dtype)
+        chunk = jnp.concatenate([s.next_embed[0], d_emb], axis=0)
+        cpos = s.cache_len + jnp.arange(spec_k, dtype=jnp.int32)
+        h, cache = llama_lib.decode_chunk_step(
+            params["llama"], cfg.llama, chunk, cpos, s.cache,
+            attn_impl=attn_impl)
+        s = s._replace(cache=cache, cache_len=s.cache_len + 1,
+                       iters=s.iters + 1)
+        s1, tok1, emit1 = _advance1(params, cfg, s, h[0:1], K,
+                                    max_new_tokens, stop_ids)
+        s1 = _accept_chain(params, cfg, s1, tok1, emit1, drafts, h, Km1,
+                           max_new_tokens, special_arr, eos_arr)
+        return DraftModelState(main=s1, d_cache=d_cache, d_len=d_len)
+
+    state = jax.lax.while_loop(cond, body, state)
+    m = state.main
+    return {
+        "ids": m.ids,
+        "n_ids": m.n_ids,
+        "image_embeds": m.img_embeds,
+        "n_image_tokens": m.n_img,
+        "steps": m.steps,
+        "iters": m.iters,
     }

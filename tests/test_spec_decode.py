@@ -320,3 +320,80 @@ def test_ngram_draft_prefers_longest_suffix_match():
     hist3 = np.asarray([5, 6, 42, 43, 9, 5, 6, -1], np.int32)
     out3 = np.asarray(draft(jnp.asarray(hist3), jnp.int32(7)))
     np.testing.assert_array_equal(out3, [42, 43, 9])
+
+
+# ---- draft-model speculation ----------------------------------------------
+
+
+def _tiny_drafter(seed=11):
+    """A second, smaller random LLaMA sharing the vocab."""
+    from metamorph_tpu.models.llama import init_llama_params
+
+    dcfg = LlamaConfig.tiny(vocab_size=128258)
+    return init_llama_params(jax.random.PRNGKey(seed), dcfg), dcfg
+
+
+def test_draft_model_spec_matches_greedy(params):
+    """Random (uncorrelated) drafter: ~no accepts, but the output must be
+    bitwise the plain greedy stream."""
+    from metamorph_tpu.inference.spec_decode import \
+        greedy_decode_spec_draft_model
+
+    dparams, dcfg = _tiny_drafter()
+    for seed in (0, 4):
+        ids, pe = _prompt(params, seed)
+        ref = greedy_decode(params, CFG, pe, max_new_tokens=10, max_images=2)
+        spec = greedy_decode_spec_draft_model(
+            params, dparams, CFG, dcfg, pe, ids, max_new_tokens=10,
+            max_images=2, spec_k=4)
+        _check_equal(spec, ref)
+
+
+def test_draft_model_spec_image_mode(params):
+    """Image-emission rows degrade to 1-accept chunks, exactly equivalent."""
+    from metamorph_tpu.inference.spec_decode import \
+        greedy_decode_spec_draft_model
+
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, IM_START_TOKEN_ID] = 10.0
+    kernel[:, LLAMA3_EOS_IDS[0]] = -10.0
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+    dparams, dcfg = _tiny_drafter()
+
+    ids, pe = _prompt(params, 3, t0=4)
+    ref = greedy_decode(p, CFG, pe, max_new_tokens=10, max_images=2)
+    spec = greedy_decode_spec_draft_model(
+        p, dparams, CFG, dcfg, pe, ids, max_new_tokens=10, max_images=2,
+        spec_k=4)
+    _check_equal(spec, ref)
+
+
+def test_draft_model_spec_accepts_when_drafter_agrees(params):
+    """Main and drafter share the same forced periodic lm_head: the drafter
+    proposes the true continuation, so iters must collapse well below steps
+    (the draft-model payoff, independent of prompt echoes)."""
+    from metamorph_tpu.inference.spec_decode import \
+        greedy_decode_spec_draft_model
+
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+
+    p = jax.tree.map(lambda x: x, params)
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+    # drafter = the main model's llama itself (perfect proposals)
+    dparams, dcfg = p["llama"], CFG.llama
+
+    ids = jnp.asarray([111, 222, 111, 222], jnp.int32)
+    pe = L.embed_tokens(p["llama"], ids[None])
+    ref = greedy_decode(p, CFG, pe, max_new_tokens=14, max_images=2)
+    spec = greedy_decode_spec_draft_model(
+        p, dparams, CFG, dcfg, pe, ids, max_new_tokens=14, max_images=2,
+        spec_k=6)
+    _check_equal(spec, ref)
+    if int(ref["steps"]) >= 10 and int(ref["n_image_tokens"]) == 0:
+        assert int(spec["iters"]) <= (int(spec["steps"]) + 1) // 2
