@@ -156,3 +156,26 @@ def test_spec_engine_accepts_fewer_ticks(params):
     np.testing.assert_array_equal(d_plain.ids, d_spec.ids)
     if len(d_plain.ids) >= 10:
         assert t_spec < t_plain, (t_spec, t_plain)
+
+
+def test_spec_engine_multimodal_ids_request(params):
+    """A multimodal ids-path request (on-device image splice; the drafting
+    buffer holds placeholder ids at the image span) stays exactly equivalent
+    through the spec engine."""
+    K = CFG.mm.num_image_tokens
+    D = CFG.llama.hidden_size
+    rng = np.random.default_rng(21)
+    ids = rng.integers(10, 1000, (11,)).astype(np.int32)
+    img = rng.normal(size=(1, K, D)).astype(np.float32) * 0.02
+
+    def run(spec_k):
+        eng = _engine(params, spec_k, n_slots=1, prefill_buckets=(16,))
+        eng.submit(Request(prompt_ids=ids.copy(), image_embeds=img.copy(),
+                           image_positions=np.asarray([3]),
+                           max_new_tokens=8, uid="m"))
+        return eng.run()[0]
+
+    a, b = run(0), run(4)
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.image_embeds, b.image_embeds,
+                               rtol=1e-6, atol=1e-6)
