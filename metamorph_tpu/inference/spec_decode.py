@@ -518,55 +518,9 @@ def _batched_greedy_decode_spec(
                                             max_new_tokens, stop_ids)
         if Km1 == 0:
             return s1
-
-        preds = jnp.argmax(
-            llama_lib.lm_head(params["llama"], cfg.llama,
-                              h[:, 1:].reshape(B * Km1, -1)),
-            axis=-1).astype(jnp.int32).reshape(B, Km1)
-        base_ok = (~emit1 & ~s1.done
-                   & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
-
-        ids, ids_all = s1.ids, s1.ids_all
-        n_extra = jnp.zeros((B,), jnp.int32)
-        last_tok = tok1
-        eos_acc = jnp.zeros((B,), bool)
-        start_acc = jnp.zeros((B,), bool)
-        end_acc = jnp.zeros((B,), bool)
-        ok_chain = base_ok
-        prev = tok1
-        for i in range(Km1):
-            ok_i = ok_chain & (drafts[:, i] == prev)
-            acc_i = ok_i & (s1.steps + i < max_new_tokens)
-            cand = preds[:, i]
-            special_i = jnp.isin(cand, special_arr)
-            old = ids[b_idx, s1.n_ids + i]
-            ids = ids.at[b_idx, s1.n_ids + i].set(
-                jnp.where(acc_i, cand, old))
-            old_a = ids_all[b_idx, s1.n_all + i]
-            ids_all = ids_all.at[b_idx, s1.n_all + i].set(
-                jnp.where(acc_i, cand, old_a))
-            n_extra = n_extra + acc_i.astype(jnp.int32)
-            last_tok = jnp.where(acc_i, cand, last_tok)
-            eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
-            start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
-            end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
-            ok_chain = acc_i & ~special_i
-            prev = cand
-
-        any_extra = n_extra > 0
-        tok_embed = llama_lib.embed_tokens(params["llama"], last_tok)  # [B,D]
-        next_embed = jnp.where(any_extra[:, None, None], tok_embed[:, None],
-                               s1.next_embed)
-        steps = s1.steps + n_extra
-        return s1._replace(
-            ids=ids, ids_all=ids_all,
-            n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
-            cache_lens=s1.cache_lens + n_extra,
-            next_embed=next_embed,
-            in_image=jnp.where(start_acc, True, s1.in_image),
-            img_count=jnp.where(end_acc, 0, s1.img_count),
-            steps=steps,
-            done=s1.done | eos_acc | (steps >= max_new_tokens))
+        return _accept_chain_batched(params, cfg, s1, tok1, emit1, drafts, h,
+                                     Km1, max_new_tokens, special_arr,
+                                     eos_arr)
 
     state = jax.lax.while_loop(cond, body, state)
     return {
@@ -577,6 +531,65 @@ def _batched_greedy_decode_spec(
         "steps": state.steps,
         "iters": state.iters,
     }
+
+
+def _accept_chain_batched(params, cfg: MetaMorphConfig,
+                          s1: BatchedSpecState, tok1: jnp.ndarray,
+                          emit1: jnp.ndarray, drafts: jnp.ndarray,
+                          h: jnp.ndarray, Km1: int, max_new: int,
+                          special_arr, eos_arr) -> BatchedSpecState:
+    """Per-row accept chain after the chunk's first transition — shared by
+    the prompt-lookup and draft-model batched loops."""
+    B = h.shape[0]
+    b_idx = jnp.arange(B)
+    preds = jnp.argmax(
+        llama_lib.lm_head(params["llama"], cfg.llama,
+                          h[:, 1:].reshape(B * Km1, -1)),
+        axis=-1).astype(jnp.int32).reshape(B, Km1)
+    base_ok = (~emit1 & ~s1.done
+               & ~jnp.isin(tok1, special_arr) & ~s1.in_image)
+
+    ids, ids_all = s1.ids, s1.ids_all
+    n_extra = jnp.zeros((B,), jnp.int32)
+    last_tok = tok1
+    eos_acc = jnp.zeros((B,), bool)
+    start_acc = jnp.zeros((B,), bool)
+    end_acc = jnp.zeros((B,), bool)
+    ok_chain = base_ok
+    prev = tok1
+    for i in range(Km1):
+        ok_i = ok_chain & (drafts[:, i] == prev)
+        acc_i = ok_i & (s1.steps + i < max_new)
+        cand = preds[:, i]
+        special_i = jnp.isin(cand, special_arr)
+        old = ids[b_idx, s1.n_ids + i]
+        ids = ids.at[b_idx, s1.n_ids + i].set(
+            jnp.where(acc_i, cand, old))
+        old_a = ids_all[b_idx, s1.n_all + i]
+        ids_all = ids_all.at[b_idx, s1.n_all + i].set(
+            jnp.where(acc_i, cand, old_a))
+        n_extra = n_extra + acc_i.astype(jnp.int32)
+        last_tok = jnp.where(acc_i, cand, last_tok)
+        eos_acc = eos_acc | (acc_i & jnp.isin(cand, eos_arr))
+        start_acc = start_acc | (acc_i & (cand == IM_START_TOKEN_ID))
+        end_acc = end_acc | (acc_i & (cand == IM_END_TOKEN_ID))
+        ok_chain = acc_i & ~special_i
+        prev = cand
+
+    any_extra = n_extra > 0
+    tok_embed = llama_lib.embed_tokens(params["llama"], last_tok)  # [B,D]
+    next_embed = jnp.where(any_extra[:, None, None], tok_embed[:, None],
+                           s1.next_embed)
+    steps = s1.steps + n_extra
+    return s1._replace(
+        ids=ids, ids_all=ids_all,
+        n_ids=s1.n_ids + n_extra, n_all=s1.n_all + n_extra,
+        cache_lens=s1.cache_lens + n_extra,
+        next_embed=next_embed,
+        in_image=jnp.where(start_acc, True, s1.in_image),
+        img_count=jnp.where(end_acc, 0, s1.img_count),
+        steps=steps,
+        done=s1.done | eos_acc | (steps >= max_new))
 
 
 class DraftModelState(NamedTuple):
@@ -734,6 +747,196 @@ def greedy_decode_spec_draft_model(
         s1 = _accept_chain(params, cfg, s1, tok1, emit1, drafts, h, Km1,
                            max_new_tokens, special_arr, eos_arr)
         return DraftModelState(main=s1, d_cache=d_cache, d_len=d_len)
+
+    state = jax.lax.while_loop(cond, body, state)
+    m = state.main
+    return {
+        "ids": m.ids,
+        "n_ids": m.n_ids,
+        "image_embeds": m.img_embeds,
+        "n_image_tokens": m.n_img,
+        "steps": m.steps,
+        "iters": m.iters,
+    }
+
+
+class BatchedDraftModelState(NamedTuple):
+    main: BatchedSpecState
+    d_cache: Dict[str, jnp.ndarray]   # drafter KV cache [L, B, KV, S, Dh]
+    d_len: jnp.ndarray                # [B] int32 — drafter tokens ingested
+
+
+def batched_greedy_decode_spec_draft_model(
+        params, draft_params, cfg, draft_cfg, prompt_embeds, prompt_mask,
+        prompt_ids, *args, prefill_attn_impl: str = "xla",
+        attn_impl: str = "xla", **kw):
+    """Host-side guard + jit dispatch (see _batched_...draft_model)."""
+    if prefill_attn_impl == "flash" or attn_impl == "pallas":
+        import numpy as _np
+        if not bool(_np.asarray(prompt_mask, bool).all()):
+            raise ValueError(
+                "prefill_attn_impl='flash' / attn_impl='pallas' require an "
+                "unpadded batch (see batched_greedy_decode_spec)")
+    return _batched_greedy_decode_spec_draft_model(
+        params, draft_params, cfg, draft_cfg, prompt_embeds, prompt_mask,
+        prompt_ids, *args, prefill_attn_impl=prefill_attn_impl,
+        attn_impl=attn_impl, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "draft_cfg", "max_new_tokens", "max_images", "max_cache_len",
+    "stop_ids", "prefill_attn_impl", "attn_impl", "kv_int8", "spec_k"))
+def _batched_greedy_decode_spec_draft_model(
+    params: Any,
+    draft_params: Any,
+    cfg: MetaMorphConfig,
+    draft_cfg,
+    prompt_embeds: jnp.ndarray,   # [B, T0, D] LEFT-padded fused prompts
+    prompt_mask: jnp.ndarray,     # [B, T0]
+    prompt_ids: jnp.ndarray,      # [B, T0] int32 (left-padded, pads ignored)
+    max_new_tokens: int = 256,
+    max_images: int = 4,
+    max_cache_len: int = 0,
+    stop_ids: tuple = (),
+    prefill_attn_impl: str = "xla",
+    attn_impl: str = "xla",
+    kv_int8: bool = False,
+    spec_k: int = 8,
+) -> Dict[str, jnp.ndarray]:
+    """Batched draft-model speculation: the drafter proposes per-row token
+    chains (its own KV caches over each row's id stream, contiguous from 0 —
+    no padding), the main model verifies every row's chain in ONE
+    `decode_chunk_step_batched`. Per-row output identical to
+    `decode.batched_greedy_decode`. Combines both amortizations: the drafter
+    makes acceptance workload-general (not just prompt echoes), the batched
+    chunk makes every accepted token amortize the weight AND per-row cache
+    streams."""
+    K = cfg.mm.num_image_tokens
+    D = cfg.llama.hidden_size
+    Dv = cfg.siglip.hidden_size
+    B, T0 = prompt_embeds.shape[:2]
+    Km1 = spec_k - 1
+    assert Km1 >= 1, "spec_k must be >= 2 for draft-model speculation"
+    S = max_cache_len or (T0 + max_new_tokens + spec_k + 8)
+
+    dtype = prompt_embeds.dtype
+    cache = llama_lib.init_kv_cache(cfg.llama, B, S, dtype=dtype,
+                                    quantized=kv_int8)
+    pos = (jnp.cumsum(prompt_mask, axis=1) - 1) * prompt_mask
+    h_all, cache = llama_lib.prefill(
+        params["llama"], cfg.llama, prompt_embeds, pos.astype(jnp.int32),
+        prompt_mask.astype(jnp.int32), cache, attn_impl=prefill_attn_impl)
+
+    prompt_lens = prompt_mask.sum(axis=1).astype(jnp.int32)
+    starts = (jnp.int32(T0) - prompt_lens).astype(jnp.int32)
+
+    # logically-contiguous per-row prompt ids (drafting source + drafter feed)
+    cap = T0 + max_new_tokens + spec_k + 4
+    gidx = starts[:, None] + jnp.arange(T0, dtype=jnp.int32)[None]
+    row_ids = jnp.take_along_axis(prompt_ids.astype(jnp.int32),
+                                  jnp.clip(gidx, 0, T0 - 1), axis=1)
+    valid0 = jnp.arange(T0)[None] < prompt_lens[:, None]
+    ids_all = jnp.full((B, cap), -1, jnp.int32)
+    ids_all = ids_all.at[:, :T0].set(jnp.where(valid0, row_ids, -1))
+
+    # drafter prefill: RIGHT-padded contiguous rows from 0 (junk K/V past
+    # each row's length is overwritten by catch-up chunks before any valid
+    # query can read it — query c of a chunk at p0 reads keys <= p0 + c,
+    # and the chunk writes [p0, p0+spec_k) first)
+    d_cache = llama_lib.init_kv_cache(draft_cfg, B, S, dtype=dtype)
+    d_prompt = llama_lib.embed_tokens(
+        draft_params, jnp.maximum(row_ids, 0)).astype(dtype)
+    d_pos = jnp.broadcast_to(jnp.arange(T0, dtype=jnp.int32)[None], (B, T0))
+    _, d_cache = llama_lib.prefill(
+        draft_params, draft_cfg, d_prompt, d_pos,
+        valid0.astype(jnp.int32), d_cache, attn_impl=prefill_attn_impl)
+
+    main = BatchedSpecState(
+        cache=cache,
+        cache_lens=jnp.full((B,), T0, jnp.int32),
+        starts=starts,
+        prompt_lens=prompt_lens,
+        next_embed=jnp.zeros((B, 1, D), dtype),
+        in_image=jnp.zeros((B,), bool),
+        img_count=jnp.zeros((B,), jnp.int32),
+        ids=jnp.full((B, max_new_tokens), -1, jnp.int32),
+        n_ids=jnp.zeros((B,), jnp.int32),
+        img_embeds=jnp.zeros((B, max_images * K, Dv), jnp.float32),
+        n_img=jnp.zeros((B,), jnp.int32),
+        steps=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        ids_all=ids_all,
+        n_all=prompt_lens,
+        iters=jnp.int32(0),
+    )
+    main, _, _ = _advance1_batched(params, cfg, main, h_all[:, -1], K,
+                                   max_new_tokens, stop_ids)
+    state = BatchedDraftModelState(main=main, d_cache=d_cache,
+                                   d_len=prompt_lens)
+
+    eos_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids, jnp.int32)
+    special_arr = jnp.asarray(tuple(LLAMA3_EOS_IDS) + stop_ids + _SPECIAL,
+                              jnp.int32)
+    zero_starts = jnp.zeros((B,), jnp.int32)
+
+    def cond(st: BatchedDraftModelState):
+        return ~jnp.all(st.main.done)
+
+    def body(st: BatchedDraftModelState):
+        s, d_cache, d_len = st.main, st.d_cache, st.d_len
+
+        # 1. per-row drafter catch-up on ids accepted since last sync
+        valid = s.n_all - d_len                            # [B] in [0,spec_k]
+        cu_idx = d_len[:, None] + jnp.arange(spec_k, dtype=jnp.int32)[None]
+        cu_ids = jnp.take_along_axis(s.ids_all,
+                                     jnp.clip(cu_idx, 0, cap - 1), axis=1)
+        cu_emb = llama_lib.embed_tokens(
+            draft_params,
+            jnp.maximum(cu_ids, 0).reshape(-1)
+        ).reshape(B, spec_k, -1).astype(dtype)
+        hd, d_cache = llama_lib.decode_chunk_step_batched(
+            draft_params, draft_cfg, cu_emb, cu_idx, d_len, zero_starts,
+            d_cache, attn_impl=attn_impl)
+        d_len = d_len + valid
+
+        # 2. Km1 sequential drafter steps (batched single-token)
+        h_last = jnp.take_along_axis(
+            hd, jnp.maximum(valid - 1, 0)[:, None, None], axis=1)[:, 0]
+        drafts = []
+        d_tok = jnp.argmax(
+            llama_lib.lm_head(draft_params, draft_cfg, h_last),
+            axis=-1).astype(jnp.int32)                     # [B]
+        for j in range(Km1):
+            drafts.append(d_tok)
+            if j == Km1 - 1:
+                break
+            d_emb = llama_lib.embed_tokens(draft_params, d_tok)[:, None]
+            hj, d_cache = llama_lib.decode_step(
+                draft_params, draft_cfg, d_emb.astype(dtype),
+                (d_len + j)[:, None], d_cache, d_len + j, attn_impl="xla")
+            d_tok = jnp.argmax(
+                llama_lib.lm_head(draft_params, draft_cfg, hj[:, 0]),
+                axis=-1).astype(jnp.int32)
+        drafts = jnp.stack(drafts, axis=1)                 # [B, Km1]
+
+        # 3. main-model batched chunk verification
+        d_emb = llama_lib.embed_tokens(
+            params["llama"],
+            jnp.maximum(drafts, 0).reshape(-1)).astype(dtype)
+        chunk = jnp.concatenate(
+            [s.next_embed, d_emb.reshape(B, Km1, D)], axis=1)
+        rope_pos = ((s.prompt_lens + s.steps - 1)[:, None]
+                    + jnp.arange(spec_k, dtype=jnp.int32)[None])
+        h, cache = llama_lib.decode_chunk_step_batched(
+            params["llama"], cfg.llama, chunk, rope_pos, s.cache_lens,
+            s.starts, s.cache, attn_impl=attn_impl)
+        s = s._replace(cache=cache, cache_lens=s.cache_lens + 1,
+                       iters=s.iters + 1)
+        s1, tok1, emit1 = _advance1_batched(params, cfg, s, h[:, 0], K,
+                                            max_new_tokens, stop_ids)
+        s1 = _accept_chain_batched(params, cfg, s1, tok1, emit1, drafts, h,
+                                   Km1, max_new_tokens, special_arr, eos_arr)
+        return BatchedDraftModelState(main=s1, d_cache=d_cache, d_len=d_len)
 
     state = jax.lax.while_loop(cond, body, state)
     m = state.main

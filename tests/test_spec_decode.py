@@ -397,3 +397,54 @@ def test_draft_model_spec_accepts_when_drafter_agrees(params):
     _check_equal(spec, ref)
     if int(ref["steps"]) >= 10 and int(ref["n_image_tokens"]) == 0:
         assert int(spec["iters"]) <= (int(spec["steps"]) + 1) // 2
+
+
+def test_batched_draft_model_spec_matches_batched_greedy(params):
+    """Ragged left-padded batch + random (uncorrelated) drafter: per-row
+    output must be bitwise the plain batched greedy stream."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import \
+        batched_greedy_decode_spec_draft_model
+
+    dparams, dcfg = _tiny_drafter()
+    rng = np.random.default_rng(15)
+    lens = [3, 6, 4]
+    rows = [jnp.asarray(rng.integers(10, 1000, (1, n)), jnp.int32)
+            for n in lens]
+    embeds, mask, ids = _padded_batch(params, rows, max(lens))
+    out = batched_greedy_decode(params, CFG, embeds, mask,
+                                max_new_tokens=8, max_images=1)
+    spec = batched_greedy_decode_spec_draft_model(
+        params, dparams, CFG, dcfg, embeds, mask, ids,
+        max_new_tokens=8, max_images=1, spec_k=4)
+    _check_equal_batched(spec, out, len(lens))
+
+
+def test_batched_draft_model_spec_accepts_when_drafter_agrees(params):
+    """Drafter == the main llama with a forced periodic head: every row's
+    drafts verify, so chunk steps collapse below the max per-row transition
+    count."""
+    from metamorph_tpu.inference.decode import batched_greedy_decode
+    from metamorph_tpu.inference.spec_decode import \
+        batched_greedy_decode_spec_draft_model
+
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    rows = [jnp.asarray([[111, 222, 111, 222]], jnp.int32),
+            jnp.asarray([[222, 111]], jnp.int32)]
+    embeds, mask, ids = _padded_batch(p, rows, 4)
+    out = batched_greedy_decode(p, CFG, embeds, mask,
+                                max_new_tokens=14, max_images=2)
+    spec = batched_greedy_decode_spec_draft_model(
+        p, p["llama"], CFG, CFG.llama, embeds, mask, ids,
+        max_new_tokens=14, max_images=2, spec_k=6)
+    _check_equal_batched(spec, out, 2)
+    steps = np.asarray(spec["steps"])
+    if steps.min() >= 10 and int(np.asarray(spec["n_image_tokens"]).max()) == 0:
+        assert int(spec["iters"]) <= (int(steps.max()) + 1) // 2
