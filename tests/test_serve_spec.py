@@ -179,3 +179,34 @@ def test_spec_engine_multimodal_ids_request(params):
     np.testing.assert_array_equal(a.ids, b.ids)
     np.testing.assert_allclose(a.image_embeds, b.image_embeds,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_spec_engine_adapts_off_on_zero_acceptance(params):
+    """Random-weight model (drafts never verify): the scheduler must detect
+    zero acceptance and route subsequent ticks through the plain program —
+    outputs unchanged (both paths are exact)."""
+    plain_eng = _engine(params, 0, n_slots=1, steps_per_sync=1)
+    spec_eng = _engine(params, 4, n_slots=1, steps_per_sync=1)
+    for eng in (plain_eng, spec_eng):
+        for r in _id_reqs(31, [6, 5], [16, 16]):
+            eng.submit(r)
+    _assert_same(_by_uid(plain_eng.run()), _by_uid(spec_eng.run()))
+    assert spec_eng._spec_plain_left > 0   # fell back to plain mid-run
+
+
+def test_spec_engine_stays_on_when_accepting(params):
+    """Periodic forced model: acceptance flows, so the engine never falls
+    back."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+    eng = _engine(p, 6, n_slots=1, steps_per_sync=1)
+    eng.submit(Request(
+        prompt_ids=np.asarray([111, 222, 111, 222, 111, 222], np.int32),
+        max_new_tokens=14, uid="r"))
+    eng.run()
+    assert eng._spec_plain_left == 0
