@@ -587,13 +587,13 @@ def bench_serve(cfg, size):
         for r in reqs:
             eng.submit(r)
         done = eng.run()
-        return sum(c.steps for c in done)
+        return sum(c.steps for c in done), eng.spec_accepted
 
     t0 = time.time()
-    total = run()
+    total, _ = run()
     log(f"serve compile+run: {time.time()-t0:.1f}s total_new={total}")
     t0 = time.time()
-    total = run()
+    total, spec_accepted = run()
     dt = time.time() - t0
     tok_s = total / dt
     mean_T = int(np.mean([r.prompt_len + r.max_new_tokens / 2
@@ -608,6 +608,8 @@ def bench_serve(cfg, size):
         "unit": "new tokens/sec",
         "vs_baseline": round(tok_s / ref_tok_s, 2),
         "reference_recompute_tok_s": round(ref_tok_s, 1),
+        **({"spec_accepted_drafts": spec_accepted}
+           if int(os.environ.get("BENCH_SERVE_SPEC_K", 0)) else {}),
     }))
 
 

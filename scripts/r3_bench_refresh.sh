@@ -12,7 +12,7 @@ timeout 120 python -c "import jax; print(jax.devices())" || {
   echo "TPU tunnel down — aborting" >&2; exit 1; }
 
 echo "== missing/new BENCH_EXTRA rows ==" >&2
-python scripts/bench_extra.py --out BENCH_EXTRA_r03.json \
+python scripts/bench_extra.py --out BENCH_EXTRA_r03.json --timeout 3600 \
   --only decode_int8w_int8kv_b8_4k,serve_600m_longctx_int8kv,spec_decode_int8,spec_decode_int8_b8_4k
 
 echo "== driver checks ==" >&2
