@@ -429,11 +429,13 @@ def generate_batched(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray]
 
 def generate(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
              pixels: jnp.ndarray | None = None, max_new_tokens: int = 256,
-             max_images: int = 4, spec_k: int = 1) -> Dict[str, jnp.ndarray]:
+             max_images: int = 4, spec_k: int = 1,
+             draft: tuple | None = None) -> Dict[str, jnp.ndarray]:
     """Fuse the prompt (images included) then greedy-decode — the reference
     `generate` override (`metamorph_llama.py:665-717`). `spec_k > 1` switches
-    to speculative verification (`spec_decode.greedy_decode_spec`) with
-    prompt-lookup drafting; the output stream is identical."""
+    to speculative verification with prompt-lookup drafting, or — when
+    `draft=(draft_params, draft_cfg)` names a small shared-vocab LLaMA —
+    draft-model speculation; the output stream is identical either way."""
     if pixels is not None:
         projected, _ = mm_lib.encode_images(params, cfg, pixels)
         embeds = mm_lib.fuse_embeddings(params, cfg, batch, projected)
@@ -442,6 +444,14 @@ def generate(params, cfg: MetaMorphConfig, batch: Dict[str, jnp.ndarray],
     # strip right padding from the single-row prompt
     n = int(batch["attn_mask"][0].sum())
     embeds = embeds[:, :n]
+    if spec_k > 1 and draft is not None:
+        from metamorph_tpu.inference.spec_decode import \
+            greedy_decode_spec_draft_model
+
+        return greedy_decode_spec_draft_model(
+            params, draft[0], cfg, draft[1], embeds, batch["tokens"][0, :n],
+            max_new_tokens=max_new_tokens, max_images=max_images,
+            spec_k=spec_k)
     if spec_k > 1:
         from metamorph_tpu.inference.spec_decode import greedy_decode_spec
 

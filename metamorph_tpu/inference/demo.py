@@ -63,6 +63,10 @@ def main(argv=None):
     parser.add_argument("--spec-k", type=int, default=1,
                         help=">1 enables speculative decoding (prompt-lookup "
                              "drafts, exact verification; same output)")
+    parser.add_argument("--draft-model", default=None,
+                        help="HF dir of a small shared-vocab LLaMA: with "
+                             "--spec-k > 1, drafts come from this model "
+                             "instead of prompt-lookup (same output)")
     parser.add_argument("--out-dir", default="./demo_out")
     args = parser.parse_args(argv)
 
@@ -121,8 +125,21 @@ def main(argv=None):
                                 len(ids) + len(frames) * cfg.mm.num_image_tokens,
                                 len(frames))
     batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
+    draft = None
+    if args.draft_model:
+        import jax
+
+        from metamorph_tpu.models.hf_import import (llama_config_from_hf,
+                                                    llama_params_from_hf,
+                                                    load_safetensors_dir)
+
+        dcfg = llama_config_from_hf(args.draft_model)
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        draft = (llama_params_from_hf(load_safetensors_dir(args.draft_model),
+                                      dcfg, dtype), dcfg)
     out = generate(params, cfg, batch, jnp.asarray(pixels),
-                   max_new_tokens=args.max_new_tokens, spec_k=args.spec_k)
+                   max_new_tokens=args.max_new_tokens, spec_k=args.spec_k,
+                   draft=draft)
 
     n = int(out["n_ids"])
     gen_ids = [int(x) for x in np.asarray(out["ids"][:n])]

@@ -102,6 +102,37 @@ def test_demo_pipeline_e2e(tmp_path, monkeypatch):
         "--out-dir", str(tmp_path / "out_spec"),
     ])
 
+    # 6. draft-model speculation via --draft-model: export a tiny HF-layout
+    # drafter and run the same pipeline through the two-model path
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from metamorph_tpu.config import LlamaConfig
+    from metamorph_tpu.models.hf_import import (llama_config_to_hf,
+                                                llama_params_to_hf)
+    from metamorph_tpu.models.llama import init_llama_params
+
+    dcfg = LlamaConfig.tiny(vocab_size=CFG.llama.vocab_size)
+    dparams = init_llama_params(jax.random.PRNGKey(5), dcfg, jnp.float32)
+    draft_dir = tmp_path / "draft"
+    draft_dir.mkdir()
+    save_file({k: np.ascontiguousarray(np.asarray(v)) for k, v in
+               llama_params_to_hf(dparams, dcfg).items()},
+              str(draft_dir / "model.safetensors"))
+    (draft_dir / "config.json").write_text(
+        _json.dumps(llama_config_to_hf(dcfg)))
+    demo.main([
+        "--model-path", str(model_dir),
+        "--tokenizer", "fake",
+        "--image", str(img_path),
+        "--prompt", "what is it",
+        "--max-new-tokens", "6",
+        "--spec-k", "4",
+        "--draft-model", str(draft_dir),
+        "--out-dir", str(tmp_path / "out_draft"),
+    ])
+
 
 class _FakeTransformers:
     class AutoTokenizer:

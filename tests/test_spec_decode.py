@@ -448,3 +448,23 @@ def test_batched_draft_model_spec_accepts_when_drafter_agrees(params):
     steps = np.asarray(spec["steps"])
     if steps.min() >= 10 and int(np.asarray(spec["n_image_tokens"]).max()) == 0:
         assert int(spec["iters"]) <= (int(steps.max()) + 1) // 2
+
+
+def test_generate_draft_model_wiring(params):
+    """decode.generate(spec_k>1, draft=...) routes through draft-model
+    speculation and matches the plain path."""
+    from metamorph_tpu.inference.decode import generate
+
+    dparams, dcfg = _tiny_drafter()
+    rng = np.random.default_rng(17)
+    t0 = 9
+    ids = rng.integers(10, 1000, (t0,)).astype(np.int32)
+    tokens = np.zeros((1, t0 + 3), np.int32)
+    tokens[0, :t0] = ids
+    mask = np.zeros((1, t0 + 3), np.int32)
+    mask[0, :t0] = 1
+    batch = {"tokens": jnp.asarray(tokens), "attn_mask": jnp.asarray(mask)}
+    ref = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1)
+    spec = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1,
+                    spec_k=4, draft=(dparams, dcfg))
+    _check_equal(spec, ref)
