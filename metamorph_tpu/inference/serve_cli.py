@@ -57,6 +57,22 @@ def fuse_request(params, cfg, tokenize, bos_token_id, prompt_text: str,
     return {"prompt_embeds": np.asarray(embeds[0, :t0])}
 
 
+def _load_draft(args):
+    """(draft_params, draft_cfg) from --draft-model, or None."""
+    if not getattr(args, "draft_model", None):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.models.hf_import import (llama_config_from_hf,
+                                                llama_params_from_hf,
+                                                load_safetensors_dir)
+
+    dcfg = llama_config_from_hf(args.draft_model)
+    return (llama_params_from_hf(load_safetensors_dir(args.draft_model),
+                                 dcfg, jnp.bfloat16), dcfg)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model-path", required=True)
@@ -73,6 +89,9 @@ def main(argv=None):
     p.add_argument("--spec-k", type=int, default=0,
                    help=">1 enables speculative decoding for greedy rows "
                         "(prompt-lookup drafts, exact verification)")
+    p.add_argument("--draft-model", default=None,
+                   help="HF dir of a small shared-vocab LLaMA drafter "
+                        "(with --spec-k > 1)")
     p.add_argument("--kv-int8", action="store_true",
                    help="int8 KV cache (halves cache HBM traffic)")
     p.add_argument("--fill-chunk", type=int, default=256,
@@ -113,7 +132,7 @@ def main(argv=None):
                       fill_chunk=args.fill_chunk,
                       steps_per_sync=args.steps_per_sync,
                       seed=args.seed, kv_int8=args.kv_int8,
-                      spec_k=args.spec_k)
+                      spec_k=args.spec_k, draft=_load_draft(args))
     rows = [json.loads(l) for l in open(args.requests) if l.strip()]
     submit_order = {}
     for i, row in enumerate(rows):

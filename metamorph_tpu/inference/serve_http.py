@@ -240,6 +240,22 @@ class MetaMorphHTTPServer:
         self.sched.shutdown()
 
 
+def _load_draft(args):
+    """(draft_params, draft_cfg) from --draft-model, or None."""
+    if not getattr(args, "draft_model", None):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from metamorph_tpu.models.hf_import import (llama_config_from_hf,
+                                                llama_params_from_hf,
+                                                load_safetensors_dir)
+
+    dcfg = llama_config_from_hf(args.draft_model)
+    return (llama_params_from_hf(load_safetensors_dir(args.draft_model),
+                                 dcfg, jnp.bfloat16), dcfg)
+
+
 def main(argv=None):
     import argparse
     import sys
@@ -256,6 +272,7 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true")
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--spec-k", type=int, default=0)
+    p.add_argument("--draft-model", default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -278,7 +295,8 @@ def main(argv=None):
     eng = ServeEngine(params, cfg, n_slots=args.n_slots,
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens, seed=args.seed,
-                      kv_int8=args.kv_int8, spec_k=args.spec_k)
+                      kv_int8=args.kv_int8, spec_k=args.spec_k,
+                      draft=_load_draft(args))
     srv = MetaMorphHTTPServer(
         eng, host=args.host, port=args.port,
         encode=lambda s: tok(s).input_ids,

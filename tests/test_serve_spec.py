@@ -210,3 +210,60 @@ def test_spec_engine_stays_on_when_accepting(params):
         max_new_tokens=14, uid="r"))
     eng.run()
     assert eng._spec_plain_left == 0
+
+
+# ---- draft-model serving ---------------------------------------------------
+
+
+def _drafter(seed=11):
+    from metamorph_tpu.models.llama import init_llama_params
+
+    dcfg = LlamaConfig.tiny(vocab_size=128258)
+    return init_llama_params(jax.random.PRNGKey(seed), dcfg,
+                             jnp.float32), dcfg
+
+
+def test_draft_engine_matches_plain_engine(params):
+    """Random (uncorrelated) drafter in the engine: outputs must be exactly
+    the plain engine's."""
+    lens, budgets = [6, 9, 4], [10, 7, 12]
+    plain = _by_uid(_run(params, 0, lens, budgets))
+    eng = _engine(params, 4, draft=_drafter())
+    for r in _id_reqs(0, lens, budgets):
+        eng.submit(r)
+    spec = _by_uid(eng.run())
+    _assert_same(plain, spec)
+
+
+def test_draft_engine_accepts_and_saves_ticks(params):
+    """Drafter == the main llama with a forced periodic head: per-slot
+    drafter caches accept across continuous-batching admissions; fewer
+    scheduler ticks for the same tokens."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    def run(spec_k, draft):
+        eng = _engine(p, spec_k, n_slots=1, steps_per_sync=2, draft=draft)
+        eng.submit(Request(
+            prompt_ids=np.asarray([111, 222, 111, 222], np.int32),
+            max_new_tokens=14, uid="a"))
+        eng.submit(Request(
+            prompt_ids=np.asarray([222, 111, 222], np.int32),
+            max_new_tokens=12, uid="b"))
+        t = 0
+        while eng.pending or any(u is not None for u in eng.slot_uid):
+            eng.step()
+            t += 1
+        return t, _by_uid(eng.completed), eng.spec_accepted
+
+    t_plain, d_plain, _ = run(0, None)
+    t_spec, d_spec, accepted = run(6, (p["llama"], CFG.llama))
+    _assert_same(d_plain, d_spec)
+    if min(len(c.ids) for c in d_plain.values()) >= 10:
+        assert accepted > 0
+        assert t_spec < t_plain, (t_spec, t_plain)
