@@ -160,6 +160,23 @@ def run_task(params, cfg, tokenize, detokenize,
     }
 
 
+def _engine_kwargs(args):
+    if not args.spec_k:
+        return None
+    kw = {"spec_k": args.spec_k}
+    if args.draft_model:
+        import jax.numpy as jnp
+
+        from metamorph_tpu.models.hf_import import (llama_config_from_hf,
+                                                    llama_params_from_hf,
+                                                    load_safetensors_dir)
+
+        dcfg = llama_config_from_hf(args.draft_model)
+        kw["draft"] = (llama_params_from_hf(
+            load_safetensors_dir(args.draft_model), dcfg, jnp.bfloat16), dcfg)
+    return kw
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model-path", required=True)
@@ -180,6 +197,9 @@ def main(argv=None):
     p.add_argument("--spec-k", type=int, default=0,
                    help=">1 enables speculative decoding in the engine "
                         "(exact for the greedy eval requests)")
+    p.add_argument("--draft-model", default=None,
+                   help="HF dir of a small shared-vocab LLaMA drafter "
+                        "(with --spec-k > 1)")
     args = p.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -220,7 +240,7 @@ def main(argv=None):
             max_cache_len=args.max_cache_len,
             max_new_tokens=args.max_new_tokens,
             bos_token_id=tok.bos_token_id,
-            engine_kwargs={"spec_k": args.spec_k} if args.spec_k else None)
+            engine_kwargs=_engine_kwargs(args))
         print(json.dumps({"task": name, "metric": metric,
                           "accuracy": res["accuracy"], "n": res["n"],
                           "new_tokens_per_sec": res["new_tokens_per_sec"]}))
