@@ -267,3 +267,36 @@ def test_draft_engine_accepts_and_saves_ticks(params):
     if min(len(c.ids) for c in d_plain.values()) >= 10:
         assert accepted > 0
         assert t_spec < t_plain, (t_spec, t_plain)
+
+
+def test_draft_engine_resyncs_after_losing_drafter_state(params):
+    """Force the drafter fully out of sync mid-run (d_len back to 0, as after
+    a fallback window or a fill admission): catch-up ticks must not count as
+    zero-acceptance evidence, the drafter must resync, and the output stays
+    exact with no spurious fallback on an accepting workload."""
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    kernel[:, 111] = emb[222] * 5
+    kernel[:, 222] = emb[111] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    def run(spec_k, draft, desync):
+        eng = _engine(p, spec_k, n_slots=1, steps_per_sync=1, draft=draft)
+        eng.submit(Request(
+            prompt_ids=np.asarray([111, 222, 111, 222], np.int32),
+            max_new_tokens=14, uid="r"))
+        first = True
+        while eng.pending or any(u is not None for u in eng.slot_uid):
+            eng.step()
+            if first and desync:
+                eng.state = eng.state._replace(
+                    d_len=jnp.zeros_like(eng.state.d_len))
+                first = False
+        return _by_uid(eng.completed), eng._spec_plain_left
+
+    plain, _ = run(0, None, False)
+    spec, plain_left = run(6, (p["llama"], CFG.llama), True)
+    _assert_same(plain, spec)
+    assert plain_left == 0   # catch-up ticks were not misjudged
