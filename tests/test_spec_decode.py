@@ -468,3 +468,28 @@ def test_generate_draft_model_wiring(params):
     spec = generate(params, CFG, batch, None, max_new_tokens=8, max_images=1,
                     spec_k=4, draft=(dparams, dcfg))
     _check_equal(spec, ref)
+
+
+def test_spec_custom_stop_ids(params):
+    """Custom stop_ids behave identically through the accept chain (the
+    chain treats them as special: recorded, then the row stops)."""
+    # force the model to emit a fixed cycle so a cycle member can be used as
+    # a custom stop token reached via an ACCEPTED draft
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"])
+    kernel = np.zeros((D, V), np.float32)
+    cycle = [111, 222, 333]
+    for j, t in enumerate(cycle):
+        kernel[:, cycle[(j + 1) % 3]] += emb[t] * 5
+    p["llama"]["lm_head"]["kernel"] = jnp.asarray(kernel)
+
+    ids = np.asarray(cycle * 3, np.int32)
+    pe = L.embed_tokens(p["llama"], jnp.asarray(ids)[None])
+    for stop in ((333,), (222, 333)):
+        ref = greedy_decode(p, CFG, pe, max_new_tokens=12, max_images=2,
+                            stop_ids=stop)
+        spec = greedy_decode_spec(p, CFG, pe, jnp.asarray(ids),
+                                  max_new_tokens=12, max_images=2,
+                                  spec_k=6, stop_ids=stop)
+        _check_equal(spec, ref)
