@@ -369,11 +369,18 @@ def bench_spec_decode(cfg, size):
 
         ids_np = rng.integers(10, 100000, (1, T0)).astype(np.int32)
 
+    # BENCH_SPEC_REGIMES limits the compile surface on a cold/flaky remote
+    # compile service: "all" | "echo" (skip the random-model pair) |
+    # "echo_nodraft" (also skip the draft-model ceiling)
+    regimes = os.environ.get("BENCH_SPEC_REGIMES", "all")
+
     # regime (a): random weights
     ids = jnp.asarray(ids_np)
     prompt = L.embed_tokens(params["llama"], ids)
-    greedy_tok_s, _ = timed(greedy_fn(params, prompt, ids))
-    ngram_tok_s, _ = timed(spec_fn(params, prompt, ids))
+    greedy_tok_s = ngram_tok_s = None
+    if regimes == "all":
+        greedy_tok_s, _ = timed(greedy_fn(params, prompt, ids))
+        ngram_tok_s, _ = timed(spec_fn(params, prompt, ids))
 
     # regime (b): crafted periodic model — lm_head column t_{j+1} aligned
     # with embedding row t_j (margin ~ 5*|emb|^2 >> bf16 noise)
@@ -402,7 +409,7 @@ def bench_spec_decode(cfg, size):
     # table) agrees with the main model on every token, so this measures the
     # real cost structure (drafter steps + chunk verify) at full acceptance
     draft_tok_s = None
-    if B == 1:
+    if B == 1 and regimes != "echo_nodraft":
         from metamorph_tpu.config import LlamaConfig
         from metamorph_tpu.inference.spec_decode import \
             greedy_decode_spec_draft_model
@@ -434,8 +441,9 @@ def bench_spec_decode(cfg, size):
         "vs_baseline": round(echo_spec_tok_s / echo_greedy_tok_s, 3),
         "echo_greedy_tok_s": round(echo_greedy_tok_s, 1),
         "echo_tokens_per_chunk_step": round(accept, 2),
-        "random_model_greedy_tok_s": round(greedy_tok_s, 1),
-        "random_model_ngram_tok_s": round(ngram_tok_s, 1),
+        **({"random_model_greedy_tok_s": round(greedy_tok_s, 1),
+            "random_model_ngram_tok_s": round(ngram_tok_s, 1)}
+           if greedy_tok_s is not None else {}),
         "attn_impl": attn,
         **({"echo_draft_model_tok_s": round(draft_tok_s, 1)}
            if draft_tok_s is not None else {}),
