@@ -161,19 +161,17 @@ def run_task(params, cfg, tokenize, detokenize,
 
 
 def _engine_kwargs(args):
+    if args.draft_model and args.spec_k <= 1:
+        raise SystemExit("--draft-model requires --spec-k >= 2")
     if not args.spec_k:
         return None
     kw = {"spec_k": args.spec_k}
     if args.draft_model:
         import jax.numpy as jnp
 
-        from metamorph_tpu.models.hf_import import (llama_config_from_hf,
-                                                    llama_params_from_hf,
-                                                    load_safetensors_dir)
+        from metamorph_tpu.models.hf_import import load_hf_llama
 
-        dcfg = llama_config_from_hf(args.draft_model)
-        kw["draft"] = (llama_params_from_hf(
-            load_safetensors_dir(args.draft_model), dcfg, jnp.bfloat16), dcfg)
+        kw["draft"] = load_hf_llama(args.draft_model, jnp.bfloat16)
     return kw
 
 

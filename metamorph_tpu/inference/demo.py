@@ -127,16 +127,14 @@ def main(argv=None):
     batch = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed).items()}
     draft = None
     if args.draft_model:
+        if args.spec_k <= 1:
+            raise SystemExit("--draft-model requires --spec-k >= 2")
         import jax
 
-        from metamorph_tpu.models.hf_import import (llama_config_from_hf,
-                                                    llama_params_from_hf,
-                                                    load_safetensors_dir)
+        from metamorph_tpu.models.hf_import import load_hf_llama
 
-        dcfg = llama_config_from_hf(args.draft_model)
-        dtype = jax.tree_util.tree_leaves(params)[0].dtype
-        draft = (llama_params_from_hf(load_safetensors_dir(args.draft_model),
-                                      dcfg, dtype), dcfg)
+        draft = load_hf_llama(args.draft_model,
+                              jax.tree_util.tree_leaves(params)[0].dtype)
     out = generate(params, cfg, batch, jnp.asarray(pixels),
                    max_new_tokens=args.max_new_tokens, spec_k=args.spec_k,
                    draft=draft)

@@ -244,16 +244,13 @@ def _load_draft(args):
     """(draft_params, draft_cfg) from --draft-model, or None."""
     if not getattr(args, "draft_model", None):
         return None
-    import jax
+    if args.spec_k <= 1:
+        raise SystemExit("--draft-model requires --spec-k >= 2")
     import jax.numpy as jnp
 
-    from metamorph_tpu.models.hf_import import (llama_config_from_hf,
-                                                llama_params_from_hf,
-                                                load_safetensors_dir)
+    from metamorph_tpu.models.hf_import import load_hf_llama
 
-    dcfg = llama_config_from_hf(args.draft_model)
-    return (llama_params_from_hf(load_safetensors_dir(args.draft_model),
-                                 dcfg, jnp.bfloat16), dcfg)
+    return load_hf_llama(args.draft_model, jnp.bfloat16)
 
 
 def main(argv=None):

@@ -327,3 +327,12 @@ def mlp_params_to_hf(params: Params, prefix: str, acts) -> Dict[str, np.ndarray]
         out[f"{key}.bias"] = np.asarray(layer["bias"])
         torch_idx += 2  # skip the activation module slot
     return out
+
+
+def load_hf_llama(model_dir: str, dtype=None):
+    """(params, LlamaConfig) from an HF LlamaForCausalLM dir — the one-call
+    loader used for draft models (speculative decoding) and standalone-LLM
+    tooling. `dtype=None` keeps the checkpoint dtypes."""
+    cfg = llama_config_from_hf(model_dir)
+    params = llama_params_from_hf(load_safetensors_dir(model_dir), cfg, dtype)
+    return params, cfg
