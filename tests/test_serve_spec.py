@@ -300,3 +300,75 @@ def test_draft_engine_resyncs_after_losing_drafter_state(params):
     spec, plain_left = run(6, (p["llama"], CFG.llama), True)
     _assert_same(plain, spec)
     assert plain_left == 0   # catch-up ticks were not misjudged
+
+
+# ---- shared-prefix KV reuse -------------------------------------------------
+
+
+def test_shared_prefix_engine_matches_plain(params):
+    """Prefix engine (prefix KV computed once, suffix-only admission) ==
+    plain engine given the identical full prompts — incl. an image in the
+    suffix and a second wave of admissions reusing freed slots."""
+    rng = np.random.default_rng(41)
+    prefix = rng.integers(10, 1000, (11,)).astype(np.int32)
+    K = CFG.mm.num_image_tokens
+    D = CFG.llama.hidden_size
+    img = rng.normal(size=(1, K, D)).astype(np.float32) * 0.02
+
+    sufs = [rng.integers(10, 1000, (n,)).astype(np.int32)
+            for n in (5, 9, 3, 6)]
+    budgets = [8, 6, 9, 7]
+
+    plain = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                        max_new_tokens_cap=16, max_images=2,
+                        prefill_buckets=(8, 16, 32), steps_per_sync=3)
+    pref = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                       max_new_tokens_cap=16, max_images=2,
+                       prefill_buckets=(8, 16, 32), steps_per_sync=3,
+                       shared_prefix_ids=prefix)
+    for i, (suf, b) in enumerate(zip(sufs, budgets)):
+        kw = {}
+        if i == 1:  # an image inside the suffix (suffix-relative position 1)
+            kw = dict(image_embeds=img.copy(),
+                      image_positions=np.asarray([1]))
+            # plain engine gets the same image at full-prompt position
+            plain.submit(Request(
+                prompt_ids=np.concatenate([prefix, suf]), max_new_tokens=b,
+                uid=i, image_embeds=img.copy(),
+                image_positions=np.asarray([len(prefix) + 1])))
+        else:
+            plain.submit(Request(prompt_ids=np.concatenate([prefix, suf]),
+                                 max_new_tokens=b, uid=i))
+        pref.submit(Request(prompt_ids=suf, max_new_tokens=b, uid=i, **kw))
+    _assert_same(_by_uid(plain.run()), _by_uid(pref.run()))
+
+
+def test_shared_prefix_with_spec_and_draft(params):
+    """Prefix reuse composes with speculative decoding (both drafters)."""
+    rng = np.random.default_rng(42)
+    prefix = rng.integers(10, 1000, (7,)).astype(np.int32)
+    sufs = [rng.integers(10, 1000, (n,)).astype(np.int32) for n in (5, 4)]
+
+    def run(**kw):
+        eng = ServeEngine(params, CFG, n_slots=2, max_cache_len=64,
+                          max_new_tokens_cap=16, max_images=2,
+                          prefill_buckets=(8, 16), steps_per_sync=3,
+                          shared_prefix_ids=prefix, **kw)
+        for i, suf in enumerate(sufs):
+            eng.submit(Request(prompt_ids=suf, max_new_tokens=8, uid=i))
+        return _by_uid(eng.run())
+
+    base = run()
+    _assert_same(base, run(spec_k=4))
+    _assert_same(base, run(spec_k=4, draft=_drafter()))
+
+
+def test_shared_prefix_rejects_embeds_requests(params):
+    rng = np.random.default_rng(43)
+    prefix = rng.integers(10, 1000, (4,)).astype(np.int32)
+    eng = ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                      max_new_tokens_cap=8, max_images=2,
+                      prefill_buckets=(8,), shared_prefix_ids=prefix)
+    pe = np.zeros((4, CFG.llama.hidden_size), np.float32)
+    with pytest.raises(ValueError, match="prompt_ids"):
+        eng.submit(Request(prompt_embeds=pe, max_new_tokens=4, uid="x"))
