@@ -270,6 +270,10 @@ def main(argv=None):
     p.add_argument("--kv-int8", action="store_true")
     p.add_argument("--spec-k", type=int, default=0)
     p.add_argument("--draft-model", default=None)
+    p.add_argument("--system-prompt", default=None,
+                   help="fixed prefix text: its KV is computed once and "
+                        "reused for every request (requests then carry "
+                        "only their own prompt)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -289,11 +293,13 @@ def main(argv=None):
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
     tok.add_tokens([DEFAULT_IM_START_TOKEN, DEFAULT_IM_END_TOKEN],
                    special_tokens=True)
+    prefix = (np.asarray(tok(args.system_prompt).input_ids, np.int32)
+              if args.system_prompt else None)
     eng = ServeEngine(params, cfg, n_slots=args.n_slots,
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens, seed=args.seed,
                       kv_int8=args.kv_int8, spec_k=args.spec_k,
-                      draft=_load_draft(args))
+                      draft=_load_draft(args), shared_prefix_ids=prefix)
     srv = MetaMorphHTTPServer(
         eng, host=args.host, port=args.port,
         encode=lambda s: tok(s).input_ids,
