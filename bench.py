@@ -567,6 +567,11 @@ def bench_serve(cfg, size):
     # lookup happens on device, so host->device traffic per prompt is KBs,
     # not MBs. BENCH_SERVE_EMBEDS=1 measures the legacy pre-fused path.
     use_embeds = bool(int(os.environ.get("BENCH_SERVE_EMBEDS", "0")))
+    # BENCH_SERVE_PREFIX=P: shared-prefix engine — a P-token system prompt
+    # whose KV is computed once; requests submit only their suffixes
+    prefix_len = int(os.environ.get("BENCH_SERVE_PREFIX", 0))
+    prefix_ids = (rng.integers(10, 100000, (prefix_len,)).astype(np.int32)
+                  if prefix_len else None)
     reqs = []
     for i in range(n_req):
         t0 = int(rng.integers(t0_max // 5, t0_max))
@@ -591,7 +596,8 @@ def bench_serve(cfg, size):
                               "BENCH_SERVE_FILL", 0)),
                           kv_int8=kv_int8,
                           spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K",
-                                                    0)))
+                                                    0)),
+                          shared_prefix_ids=prefix_ids)
         for r in reqs:
             eng.submit(r)
         done = eng.run()
@@ -604,13 +610,15 @@ def bench_serve(cfg, size):
     total, spec_accepted = run()
     dt = time.time() - t0
     tok_s = total / dt
-    mean_T = int(np.mean([r.prompt_len + r.max_new_tokens / 2
+    mean_T = int(np.mean([prefix_len + r.prompt_len + r.max_new_tokens / 2
                           for r in reqs]))
     ref_tok_s = reference_recompute_tok_s(params, cfg, mean_T)
     print(json.dumps({
         "metric": (f"continuous-batching serve throughput ({size} LLM, "
                    f"{n_slots} slots, {n_req} mixed-length requests, "
-                   f"T0<{t0_max}, cache={cache}); vs_baseline = speedup over "
+                   f"T0<{t0_max}, cache={cache}"
+                   + (f", shared prefix P={prefix_len}" if prefix_len else "")
+                   + "); vs_baseline = speedup over "
                    f"the reference's measured full-recompute B=1 loop"),
         "value": round(tok_s, 1),
         "unit": "new tokens/sec",
