@@ -681,14 +681,19 @@ def bench_render(cfg, size):
     vae_ms = (time.time() - t0) / 3 * 1e3
 
     sec_per_image = 50 / step_s + vae_ms / 1e3
+    sec_per_image_20 = 20 / step_s + vae_ms / 1e3
     print(json.dumps({
         "metric": (f"SD-1.5 visualizer render (512px, CFG, batch={B}): UNet "
-                   f"denoise steps/sec; vs_baseline = images/min at 50 steps"),
+                   f"denoise steps/sec; vs_baseline = images/min at 50 steps "
+                   f"(PNDM, the reference demo's sampler)"),
         "value": round(step_s, 2),
         "unit": "denoise steps/sec",
         "vs_baseline": round(60.0 / sec_per_image, 2),
         "vae_decode_ms": round(vae_ms, 1),
         "sec_per_image_50steps": round(sec_per_image, 2),
+        # DPM-Solver++ (2M) reaches comparable quality at ~20 steps
+        # (scheduler='dpmpp' in visualizer/pipeline.py)
+        "images_per_min_20steps_dpmpp": round(60.0 / sec_per_image_20, 2),
     }))
 
 

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from metamorph_tpu.visualizer.adapter import apply_adapter, pad_tokens
-from metamorph_tpu.visualizer.scheduler import (DDIMScheduler, PNDMScheduler,
+from metamorph_tpu.visualizer.scheduler import (DDIMScheduler,
+                                                DPMSolverPlusPlusScheduler,
+                                                PNDMScheduler,
                                                 SchedulerConfig)
 from metamorph_tpu.visualizer.unet import UNetConfig, unet_apply
 from metamorph_tpu.visualizer.vae import VAEConfig, vae_decode
@@ -38,6 +40,7 @@ def render(
     num_inference_steps: int = 50,
     latent_size: int = 64,
     scheduler: str = "pndm",         # pndm (reference demo default) | ddim
+                                     #   | dpmpp (2M: ~50-step quality at 20)
     scheduler_cfg: SchedulerConfig = SchedulerConfig(),
 ) -> jnp.ndarray:
     """Returns images [B, H, W, 3] in [0, 1]."""
@@ -60,6 +63,10 @@ def render(
 
     if scheduler == "pndm":
         sched = PNDMScheduler(scheduler_cfg)
+        for t in sched.set_timesteps(num_inference_steps):
+            latents = sched.step(eps_fn(latents, t), int(t), latents)
+    elif scheduler == "dpmpp":
+        sched = DPMSolverPlusPlusScheduler(scheduler_cfg)
         for t in sched.set_timesteps(num_inference_steps):
             latents = sched.step(eps_fn(latents, t), int(t), latents)
     elif scheduler == "ddim":

@@ -163,3 +163,64 @@ class DDIMScheduler:
         x0 = (sample - jnp.sqrt(1 - a_t) * model_out) / jnp.sqrt(a_t)
         dir_xt = jnp.sqrt(1 - a_prev) * model_out
         return jnp.sqrt(a_prev) * x0 + dir_xt
+
+
+class DPMSolverPlusPlusScheduler:
+    """DPM-Solver++ (2M): second-order linear-multistep ODE solver in the
+    data-prediction parametrization — reaches PNDM@50-step quality in ~20
+    steps (the modern SD sampler; equivalent to diffusers'
+    DPMSolverMultistepScheduler(algorithm_type='dpmsolver++',
+    solver_order=2)). The reference demo renders with the pipeline-default
+    PNDM at 50 steps (`/root/reference/inference/demo.py:156-180`); this is
+    the beyond-reference fast path. Stateful across `step` calls — call
+    `set_timesteps` per sampling run."""
+
+    def __init__(self, cfg: SchedulerConfig = SchedulerConfig()):
+        self.cfg = cfg
+        ac = np.cumprod(1.0 - make_betas(cfg))
+        self.alpha = np.sqrt(ac)
+        self.sigma = np.sqrt(1.0 - ac)
+        self.lam = np.log(self.alpha) - np.log(self.sigma)
+        self._reset()
+
+    def _reset(self):
+        self._m1 = None     # previous x0 prediction
+        self._t1 = None     # its timestep
+        self._i = 0         # position in self.timesteps
+
+    def set_timesteps(self, num_inference_steps: int) -> np.ndarray:
+        step = self.cfg.num_train_timesteps // num_inference_steps
+        return self.set_custom_timesteps(
+            (np.arange(num_inference_steps) * step).round()[::-1])
+
+    def set_custom_timesteps(self, ts) -> np.ndarray:
+        """Arbitrary descending timestep grid (non-uniform grids included)."""
+        self._reset()
+        self.timesteps = np.asarray(ts, np.int32)
+        return self.timesteps
+
+    def step(self, model_out: jnp.ndarray, t: int, sample: jnp.ndarray
+             ) -> jnp.ndarray:
+        """One 2M step to the next grid timestep (epsilon model output)."""
+        t = int(t)
+        t_prev = (int(self.timesteps[self._i + 1])
+                  if self._i + 1 < len(self.timesteps) else -1)
+        self._i += 1
+        x0 = (sample - self.sigma[t] * model_out) / self.alpha[t]
+        if t_prev < 0:
+            # exact limit: sigma_prev -> 0 collapses the update to x0
+            out = x0
+        else:
+            h = self.lam[t_prev] - self.lam[t]          # > 0 (descending t)
+            phi = float(np.expm1(-h))
+            ratio = float(self.sigma[t_prev] / self.sigma[t])
+            a_prev = float(self.alpha[t_prev])
+            if self._m1 is None:
+                out = ratio * sample - a_prev * phi * x0      # 1st order
+            else:
+                h0 = self.lam[t] - self.lam[self._t1]
+                d1 = (x0 - self._m1) * (h / h0)               # (D0-m1)/r0
+                out = (ratio * sample - a_prev * phi * x0
+                       - 0.5 * a_prev * phi * d1)
+        self._m1, self._t1 = x0, t
+        return out

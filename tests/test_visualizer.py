@@ -270,3 +270,69 @@ def test_from_scratch_switches_adapter_schedule_too():
     assert float(ad_s(15_000)) == pytest.approx(1e-4)   # constant post-warmup
     assert float(un_s(15_000)) == pytest.approx(scratch.unet_lr)
     assert float(ad_f(15_999)) < 1e-4 * 0.2             # linear decay tail
+
+
+def test_dpmpp_second_order_interior():
+    """DPM-Solver++ (2M) is genuinely second order in the ODE interior: on a
+    smooth nonlinear epsilon field, halving the step count must shrink its
+    error ~4x while a first-order (DDIM) trajectory shrinks ~2x — the gap
+    ratio grows with refinement. (Endpoint-jump error is excluded by
+    integrating t=999 -> 99 on custom grids.)"""
+    import numpy as np
+
+    from metamorph_tpu.visualizer.scheduler import (
+        DDIMScheduler, DPMSolverPlusPlusScheduler, SchedulerConfig)
+
+    cfg = SchedulerConfig()
+    ddim = DDIMScheduler(cfg)
+    rng = np.random.default_rng(0)
+    x_init = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    def eps_model(x, t):
+        return jnp.tanh(x) * (0.5 + 0.5 * np.cos(t / 200.0))
+
+    def run_dpm(ts):
+        s = DPMSolverPlusPlusScheduler(cfg)
+        s.set_custom_timesteps(ts)
+        x = x_init
+        for t in ts[:-1]:        # stop at the last grid point (no endpoint)
+            x = s.step(eps_model(x, int(t)), int(t), x)
+        return np.asarray(x)
+
+    def run_ddim(ts):
+        x = x_init
+        for i, t in enumerate(ts[:-1]):
+            x = ddim.step(eps_model(x, int(t)), int(t), int(ts[i + 1]), x)
+        return np.asarray(x)
+
+    grid = lambda n: np.linspace(999, 99, n).astype(int)
+    ref = run_dpm(grid(901))
+    ratios = []
+    for n in (11, 21, 41):
+        e1 = np.abs(run_ddim(grid(n)) - ref).max()
+        e2 = np.abs(run_dpm(grid(n)) - ref).max()
+        ratios.append(e1 / max(e2, 1e-12))
+    # first-vs-second-order gap grows under refinement
+    assert ratios[0] > 1.5 and ratios[1] > 1.5 * ratios[0] \
+        and ratios[2] > 1.5 * ratios[1], ratios
+
+
+def test_dpmpp_render_pipeline():
+    """DPM++ render path end-to-end on tiny shapes (scheduler='dpmpp')."""
+    from metamorph_tpu.visualizer.pipeline import render
+
+    unet_cfg = UNetConfig.tiny()
+    vae_cfg = VAEConfig.tiny()
+    adapter = init_adapter(jax.random.PRNGKey(0), mode="mlp", input_dim=12,
+                           hidden_dim=16,
+                           output_dim=unet_cfg.cross_attention_dim,
+                           num_layers=2)
+    unet = init_unet_params(jax.random.PRNGKey(1), unet_cfg)
+    vae = init_vae_params(jax.random.PRNGKey(2), vae_cfg)
+    sig = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 12))
+    out = render(adapter, unet, vae, unet_cfg, vae_cfg, sig,
+                 jax.random.PRNGKey(4), num_inference_steps=6, latent_size=8,
+                 scheduler="dpmpp")
+    assert out.shape[0] == 1 and out.shape[-1] == 3
+    assert np.isfinite(np.asarray(out)).all()
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
