@@ -67,6 +67,10 @@ def main(argv=None):
                         help="HF dir of a small shared-vocab LLaMA: with "
                              "--spec-k > 1, drafts come from this model "
                              "instead of prompt-lookup (same output)")
+    parser.add_argument("--render-scheduler", default="pndm",
+                        choices=["pndm", "ddim", "dpmpp"],
+                        help="dpmpp reaches pndm@50 quality at ~20 steps")
+    parser.add_argument("--render-steps", type=int, default=50)
     parser.add_argument("--out-dir", default="./demo_out")
     args = parser.parse_args(argv)
 
@@ -160,7 +164,9 @@ def main(argv=None):
             chunk = jnp.asarray(embeds[c * K:(c + 1) * K])[None]
             imgs = render_multi_scale(adapter, unet, vae, unet_cfg, vae_cfg,
                                       chunk, jax.random.PRNGKey(c),
-                                      adapter_mode=mode)
+                                      adapter_mode=mode,
+                                      scheduler=args.render_scheduler,
+                                      num_inference_steps=args.render_steps)
             from PIL import Image
 
             for gi in range(imgs.shape[1]):
