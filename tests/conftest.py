@@ -49,3 +49,24 @@ def _reset_mesh_context():
 
     set_current_mesh(None)
     set_sequence_axis(None)
+
+
+_COMPILE_HEAVY_MODULES = {"test_train", "test_trainer", "test_visualizer",
+                          "test_serve", "test_serve_spec"}
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_before_heavy_modules(request):
+    """The XLA CPU compiler segfaults compiling LARGE programs late in a
+    long single-process run (observed 3x: "Fatal Python error: Segmentation
+    fault" in backend_compile_and_load at test_train's sharded-step compile,
+    after ~257 tests / hundreds of live executables; each suite half passes
+    alone). Dropping accumulated executable references before the
+    compile-heavy modules keeps the compiler healthy at the cost of a few
+    intra-module recompiles."""
+    name = request.module.__name__.rsplit(".", 1)[-1]
+    if name in _COMPILE_HEAVY_MODULES:
+        import jax
+
+        jax.clear_caches()
+    yield
