@@ -572,6 +572,11 @@ def bench_serve(cfg, size):
     prefix_len = int(os.environ.get("BENCH_SERVE_PREFIX", 0))
     prefix_ids = (rng.integers(10, 100000, (prefix_len,)).astype(np.int32)
                   if prefix_len else None)
+    if prefix_len and use_embeds:
+        raise SystemExit("BENCH_SERVE_PREFIX requires the ids transport "
+                         "(unset BENCH_SERVE_EMBEDS)")
+    # prefix + longest suffix + largest budget must fit the cache
+    cache = max(cache, prefix_len + t0_max + new_max)
     reqs = []
     for i in range(n_req):
         t0 = int(rng.integers(t0_max // 5, t0_max))

@@ -295,6 +295,13 @@ def main(argv=None):
                    special_tokens=True)
     prefix = (np.asarray(tok(args.system_prompt).input_ids, np.int32)
               if args.system_prompt else None)
+    if args.system_prompt:
+        # requests are SUFFIXES of the shared prefix: encoding them with
+        # special tokens would splice a BOS mid-sequence at position P and
+        # silently diverge from the equivalent non-prefix prompt
+        enc = lambda s: tok(s, add_special_tokens=False).input_ids
+    else:
+        enc = lambda s: tok(s).input_ids
     eng = ServeEngine(params, cfg, n_slots=args.n_slots,
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens, seed=args.seed,
@@ -302,7 +309,7 @@ def main(argv=None):
                       draft=_load_draft(args), shared_prefix_ids=prefix)
     srv = MetaMorphHTTPServer(
         eng, host=args.host, port=args.port,
-        encode=lambda s: tok(s).input_ids,
+        encode=enc,
         decode=lambda ids: tok.decode(ids, skip_special_tokens=True),
         default_max_new=args.max_new_tokens)
     srv.start()

@@ -372,3 +372,35 @@ def test_shared_prefix_rejects_embeds_requests(params):
     pe = np.zeros((4, CFG.llama.hidden_size), np.float32)
     with pytest.raises(ValueError, match="prompt_ids"):
         eng.submit(Request(prompt_embeds=pe, max_new_tokens=4, uid="x"))
+
+
+def test_shared_prefix_odd_room_top_bucket(params):
+    """Odd (max_cache_len - P): the appended top bucket rounds down to a
+    multiple of 64 so the admission chunk width never degenerates; a suffix
+    landing in that bucket still decodes exactly like the plain engine."""
+    rng = np.random.default_rng(44)
+    prefix = rng.integers(10, 1000, (37,)).astype(np.int32)  # room = 219
+    suf = rng.integers(10, 1000, (100,)).astype(np.int32)
+
+    plain = ServeEngine(params, CFG, n_slots=1, max_cache_len=256,
+                        max_new_tokens_cap=8, max_images=2,
+                        prefill_buckets=(64, 128), steps_per_sync=2)
+    pref = ServeEngine(params, CFG, n_slots=1, max_cache_len=256,
+                       max_new_tokens_cap=8, max_images=2,
+                       prefill_buckets=(64, 128), steps_per_sync=2,
+                       shared_prefix_ids=prefix)
+    assert pref.prefill_buckets[-1] == 192 and \
+        all(b % 64 == 0 or b < 128 for b in pref.prefill_buckets)
+    plain.submit(Request(prompt_ids=np.concatenate([prefix, suf]),
+                         max_new_tokens=6, uid="x"))
+    pref.submit(Request(prompt_ids=suf, max_new_tokens=6, uid="x"))
+    a, b = plain.run()[0], pref.run()[0]
+    np.testing.assert_array_equal(a.ids, b.ids)
+
+
+def test_shared_prefix_rejects_fill_chunk(params):
+    with pytest.raises(ValueError, match="fill_chunk"):
+        ServeEngine(params, CFG, n_slots=1, max_cache_len=64,
+                    max_new_tokens_cap=8, prefill_buckets=(8,),
+                    fill_chunk=8,
+                    shared_prefix_ids=np.asarray([5, 6, 7], np.int32))
