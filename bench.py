@@ -190,9 +190,10 @@ def reference_recompute_tok_s(params, cfg, mean_T: int) -> float:
     x = jnp.zeros((1, Tm, D), jnp.bfloat16)
     float(fwd(params["llama"], x))  # compile
     reps = 3
+    s0 = (os.getpid() % 89) * 0.1  # cross-process result-cache defeat
     t0 = time.time()
     for i in range(reps):
-        float(fwd(params["llama"], x + jnp.bfloat16(i * 1e-3)))
+        float(fwd(params["llama"], x + jnp.bfloat16((s0 + i) * 1e-3)))
     t_fwd = (time.time() - t0) / reps
     return 1.0 / t_fwd
 
@@ -253,15 +254,18 @@ def bench_decode(cfg, size):
     run(0, 1)  # compile the prefill-only variant
 
     n_rep = 3
+    # per-process salt base (see bench_spec_decode: the remote runtime's
+    # result cache hits across processes on identical inputs)
+    s0 = (os.getpid() % 89) * 0.1
     # prefill-only timing (TTFT), then full runs; decode rate = difference
     t0 = time.time()
     for i in range(n_rep):
-        run(1 + i, 1)
+        run(s0 + 1 + i, 1)
     t_prefill = (time.time() - t0) / n_rep
     t0 = time.time()
     total_steps = 0
     for i in range(n_rep):
-        out = run(100 + i, NEW)
+        out = run(s0 + 100 + i, NEW)
         total_steps += (int(out["steps"]) - 1) * B
     t_full = (time.time() - t0) / n_rep
     tok_s = total_steps / max(n_rep * (t_full - t_prefill), 1e-9)
@@ -326,14 +330,20 @@ def bench_spec_decode(cfg, size):
 
     B = int(os.environ.get("BENCH_DECODE_BATCH", 1))
 
+    # per-process salt base: the remote-TPU runtime caches results of
+    # identical (executable, inputs) executions ACROSS processes, so fixed
+    # salts can replay a previous invocation's results at ~0 ms and inflate
+    # tok/s. Offsets stay <= ~0.012 so the echo regime's forced margins hold.
+    salt0 = (os.getpid() % 89) * 0.1
+
     def timed(fn, reps=3):
-        out = fn(0)
+        out = fn(salt0)
         jax.block_until_ready(out["ids"])   # compile
         t0 = time.time()
         tot = 0
         last = out
         for i in range(reps):
-            last = fn(1 + i)
+            last = fn(salt0 + 1 + i)
             jax.block_until_ready(last["ids"])
             tot += int(np.sum(last["steps"])) * (
                 B if np.ndim(last["steps"]) == 0 else 1)
@@ -382,16 +392,25 @@ def bench_spec_decode(cfg, size):
         greedy_tok_s, _ = timed(greedy_fn(params, prompt, ids))
         ngram_tok_s, _ = timed(spec_fn(params, prompt, ids))
 
-    # regime (b): crafted periodic model — lm_head column t_{j+1} aligned
-    # with embedding row t_j (margin ~ 5*|emb|^2 >> bf16 noise)
+    # regime (b): crafted periodic model — the cycle tokens' embedding rows
+    # are scaled 64x so the residual stream at those positions is dominated
+    # by the input embedding (a random transformer does NOT otherwise keep
+    # its final hidden aligned with the input embedding — measured: the
+    # un-scaled crafting drops cycle tokens and acceptance collapses), and
+    # the lm_head column of t_{j+1} is the (normalized) embedding row of t_j
+    # — so the greedy stream provably cycles with decisive margins.
     cycle = [111, 222, 333, 444]
-    emb = np.asarray(params["llama"]["embed"]["embedding"], np.float32)
+    emb = np.asarray(params["llama"]["embed"]["embedding"], np.float32).copy()
+    for t in cycle:
+        emb[t] *= 64.0
     D, V = cfg.llama.hidden_size, cfg.llama.vocab_size
     kernel = np.zeros((D, V), np.float32)
     for j, t in enumerate(cycle):
-        kernel[:, cycle[(j + 1) % len(cycle)]] += emb[t] * 5.0
+        kernel[:, cycle[(j + 1) % len(cycle)]] += emb[t] * (
+            5.0 / max(1.0, float(np.dot(emb[t], emb[t]))))
     p_echo = dict(params)
     p_echo["llama"] = dict(params["llama"])
+    p_echo["llama"]["embed"] = {"embedding": jnp.asarray(emb, jnp.bfloat16)}
     p_echo["llama"]["lm_head"] = {"kernel": jnp.asarray(kernel, jnp.bfloat16)}
     e_row = (cycle * (T0 // len(cycle) + 1))[:T0]
     # stagger rows so batched rows cycle at different phases
@@ -420,14 +439,19 @@ def bench_spec_decode(cfg, size):
                            num_kv_heads=4, head_dim=64, rope_scaling=False)
         dparams = init_llama_params(jax.random.PRNGKey(1), dcfg,
                                     jnp.bfloat16)
-        demb = np.asarray(dparams["embed"]["embedding"], np.float32)
+        demb = np.asarray(dparams["embed"]["embedding"], np.float32).copy()
+        for t in cycle:
+            demb[t] *= 64.0
         dk = np.zeros((dcfg.hidden_size, V), np.float32)
         for j, t in enumerate(cycle):
-            dk[:, cycle[(j + 1) % len(cycle)]] += demb[t] * 5.0
+            dk[:, cycle[(j + 1) % len(cycle)]] += demb[t] * (
+                5.0 / max(1.0, float(np.dot(demb[t], demb[t]))))
         dparams = dict(dparams)
+        dparams["embed"] = {"embedding": jnp.asarray(demb, jnp.bfloat16)}
         dparams["lm_head"] = {"kernel": jnp.asarray(dk, jnp.bfloat16)}
         draft_tok_s, _ = timed(lambda i: greedy_decode_spec_draft_model(
-            p_echo, dparams, cfg, dcfg, e_prompt, e_ids[0],
+            p_echo, dparams, cfg, dcfg,
+            e_prompt + jnp.bfloat16(i * 1e-3), e_ids[0],
             spec_k=SPEC_K, **common))
 
     print(json.dumps({
@@ -473,12 +497,16 @@ def bench_decode_decomp(cfg, size):
     attn = "pallas" if jax.default_backend() == "tpu" and S >= 1024 else "xla"
     steps = 128
 
-    def timed(fn, *args):
-        fn(*args)                  # compile
+    s0 = (os.getpid() % 89) * 0.1  # cross-process result-cache defeat
+
+    def timed(fn, p, x0):
+        # salt x0 per rep: identical (executable, inputs) executions can be
+        # replayed from the remote runtime's result cache at ~0 ms
+        fn(p, x0 + jnp.bfloat16(s0 * 1e-3))        # compile
         reps = 3
         t0 = time.time()
-        for _ in range(reps):
-            fn(*args)
+        for i in range(reps):
+            fn(p, x0 + jnp.bfloat16((s0 + 1 + i) * 1e-3))
         return (time.time() - t0) / reps / steps * 1e3   # ms/token
 
     @jax.jit
@@ -520,10 +548,10 @@ def bench_decode_decomp(cfg, size):
                             max_cache_len=S, attn_impl=attn)
         jax.block_until_ready(out["ids"])
 
-    full(0)
+    full(s0)
     t0 = time.time()
     for i in range(3):
-        full(i + 1)
+        full(s0 + i + 1)
     ms_full = (time.time() - t0) / 3 / steps * 1e3
     print(json.dumps({
         "metric": (f"B=1 {size} per-token ms (fori-loop, S={S}): decode_step "
@@ -570,26 +598,36 @@ def bench_serve(cfg, size):
     # BENCH_SERVE_PREFIX=P: shared-prefix engine — a P-token system prompt
     # whose KV is computed once; requests submit only their suffixes
     prefix_len = int(os.environ.get("BENCH_SERVE_PREFIX", 0))
-    prefix_ids = (rng.integers(10, 100000, (prefix_len,)).astype(np.int32)
-                  if prefix_len else None)
     if prefix_len and use_embeds:
         raise SystemExit("BENCH_SERVE_PREFIX requires the ids transport "
                          "(unset BENCH_SERVE_EMBEDS)")
     # prefix + longest suffix + largest budget must fit the cache
     cache = max(cache, prefix_len + t0_max + new_max)
-    reqs = []
-    for i in range(n_req):
-        t0 = int(rng.integers(t0_max // 5, t0_max))
-        budget = int(rng.integers(new_max // 4, new_max))
-        ids = rng.integers(10, 100000, (t0,)).astype(np.int32)
-        if use_embeds:
-            pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0])
-            reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget,
-                                uid=i))
-        else:
-            reqs.append(Request(prompt_ids=ids, max_new_tokens=budget, uid=i))
+    # lengths come from a FIXED seed (stable workload shape run-to-run);
+    # token content is salted per run — the remote runtime caches results of
+    # identical (executable, inputs) executions across runs AND processes,
+    # so re-serving byte-identical prompts can replay instead of compute
+    lengths = [(int(rng.integers(t0_max // 5, t0_max)),
+                int(rng.integers(new_max // 4, new_max)))
+               for _ in range(n_req)]
 
-    def run():
+    def make_reqs(salt):
+        rng_c = np.random.default_rng(os.getpid() * 1000 + salt)
+        pfx = (rng_c.integers(10, 100000, (prefix_len,)).astype(np.int32)
+               if prefix_len else None)
+        reqs = []
+        for i, (t0, budget) in enumerate(lengths):
+            ids = rng_c.integers(10, 100000, (t0,)).astype(np.int32)
+            if use_embeds:
+                pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0])
+                reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget,
+                                    uid=i))
+            else:
+                reqs.append(Request(prompt_ids=ids, max_new_tokens=budget,
+                                    uid=i))
+        return reqs, pfx
+
+    def run(reqs, prefix_ids):
         buckets = tuple(b for b in (64, 128, 256, 512, 1024, 2048)
                         if b <= t0_max) or (t0_max,)
         eng = ServeEngine(params, cfg, n_slots=n_slots, max_cache_len=cache,
@@ -608,15 +646,17 @@ def bench_serve(cfg, size):
         done = eng.run()
         return sum(c.steps for c in done), eng.spec_accepted
 
+    reqs_a, pfx_a = make_reqs(0)
+    reqs_b, pfx_b = make_reqs(1)
     t0 = time.time()
-    total, _ = run()
+    total, _ = run(reqs_a, pfx_a)
     log(f"serve compile+run: {time.time()-t0:.1f}s total_new={total}")
     t0 = time.time()
-    total, spec_accepted = run()
+    total, spec_accepted = run(reqs_b, pfx_b)
     dt = time.time() - t0
     tok_s = total / dt
-    mean_T = int(np.mean([prefix_len + r.prompt_len + r.max_new_tokens / 2
-                          for r in reqs]))
+    mean_T = int(np.mean([prefix_len + t0_i + budget / 2
+                          for t0_i, budget in lengths]))
     ref_tok_s = reference_recompute_tok_s(params, cfg, mean_T)
     print(json.dumps({
         "metric": (f"continuous-batching serve throughput ({size} LLM, "
@@ -678,10 +718,11 @@ def bench_render(cfg, size):
     jax.block_until_ready(lat)
     step_s = n / (time.time() - t0)
 
-    float(decode(vparams, lat, jnp.float32(0)))
+    s0 = (os.getpid() % 89) * 0.1  # cross-process result-cache defeat
+    float(decode(vparams, lat, jnp.float32(s0)))
     t0 = time.time()
     for i in range(3):
-        d = decode(vparams, lat, jnp.float32(i))
+        d = decode(vparams, lat, jnp.float32(s0 + 1 + i))
     jax.block_until_ready(d)
     vae_ms = (time.time() - t0) / 3 * 1e3
 
@@ -727,11 +768,12 @@ def bench_encode(cfg, size):
 
     frames = jax.device_put(frames)
     params = jax.device_put(params)
-    float(run(params, frames, jnp.float32(0)))  # warmup
+    s0 = (os.getpid() % 89) * 0.1  # cross-process result-cache defeat
+    float(run(params, frames, jnp.float32(s0)))  # warmup
     reps = 10
     t0 = time.time()
     for i in range(reps):
-        r = run(params, frames, jnp.float32(i))
+        r = run(params, frames, jnp.float32(s0 + 1 + i))
     jax.block_until_ready(r)
     dt = time.time() - t0
     img_s = N * reps / dt

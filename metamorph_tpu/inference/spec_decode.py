@@ -125,8 +125,12 @@ def make_ngram_draft(n_draft: int, max_ngram: int = 3):
     LONGEST matching suffix n-gram (n = max_ngram down to 2) in
     ids_all[:n_all] and propose the n_draft tokens that followed it (-1 where
     no draft). Longer context keys disambiguate repeated bigrams (e.g. 'the'
-    pairs), which measurably raises acceptance on structured text. O(cap)
-    vector ops per n per step."""
+    pairs), which measurably raises acceptance on structured text. Among
+    same-length matches, the latest occurrence whose continuation has a FULL
+    n_draft tokens of real history wins (a too-recent match truncates the
+    draft at the end of history — on periodic/echo text that caps acceptance
+    at the period instead of spec_k); the latest partial match is the
+    fallback. O(cap) vector ops per n per step."""
 
     def draft(ids_all: jnp.ndarray, n_all: jnp.ndarray) -> jnp.ndarray:
         cap = ids_all.shape[0]
@@ -139,7 +143,10 @@ def make_ngram_draft(n_draft: int, max_ngram: int = 3):
                 m = m & (ids_all[k:cap - n + k] == tk)
             # strictly earlier occurrence with >= 1 real token after it
             m = m & (p < n_all - n)
-            j = jnp.max(jnp.where(m, p, -1))
+            j_any = jnp.max(jnp.where(m, p, -1))
+            j_full = jnp.max(
+                jnp.where(m & (p <= n_all - n - n_draft), p, -1))
+            j = jnp.where(j_full >= 0, j_full, j_any)
             j = jnp.where(n_all >= n + 1, j, -1)
             # longer n overrides: this loop ends on the longest match found
             start = jnp.where(j >= 0, j + n, start)

@@ -322,6 +322,61 @@ def test_ngram_draft_prefers_longest_suffix_match():
     np.testing.assert_array_equal(out3, [42, 43, 9])
 
 
+def test_ngram_draft_prefers_full_continuation():
+    """On periodic history the most recent suffix match truncates the draft
+    at the end of history (only one period of tokens follows it); the drafter
+    must step back to the latest match with a FULL n_draft continuation."""
+    from metamorph_tpu.inference.spec_decode import make_ngram_draft
+
+    draft = make_ngram_draft(7, max_ngram=3)
+    hist = np.asarray([11, 22, 33, 44] * 6 + [-1] * 8, np.int32)
+    out = np.asarray(draft(jnp.asarray(hist), jnp.int32(24)))
+    # suffix (22,33,44): the p=21... occurrence is too recent; p=13 gives the
+    # full seven-token continuation.
+    np.testing.assert_array_equal(out, [11, 22, 33, 44, 11, 22, 33])
+
+    # when no full-depth match exists the latest partial match still drafts
+    draft2 = make_ngram_draft(5, max_ngram=3)
+    hist2 = np.asarray([7, 8, 9, 7, 8, -1, -1, -1], np.int32)
+    out2 = np.asarray(draft2(jnp.asarray(hist2), jnp.int32(5)))
+    np.testing.assert_array_equal(out2, [9, 7, 8, -1, -1])
+
+
+def test_spec_echo_acceptance_near_spec_k(params):
+    """End-to-end acceptance ceiling: a crafted periodic model (cycle-token
+    embedding rows scaled so the residual stream is input-dominated + forced
+    lm_head) must yield near-spec_k tokens per chunk step — the regime
+    bench.py's echo rows measure. Guards both the crafting recipe and the
+    drafter's full-continuation preference."""
+    cycle = [11, 22, 33, 44]
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"],
+                     np.float32).copy()
+    for t in cycle:
+        emb[t] *= 64.0
+    kernel = np.zeros((D, V), np.float32)
+    for j, t in enumerate(cycle):
+        kernel[:, cycle[(j + 1) % len(cycle)]] += emb[t] * (
+            5.0 / max(1.0, float(np.dot(emb[t], emb[t]))))
+    p = dict(params)
+    p["llama"] = dict(params["llama"])
+    p["llama"]["embed"] = {"embedding": jnp.asarray(emb)}
+    p["llama"]["lm_head"] = {"kernel": jnp.asarray(kernel)}
+
+    t0, new = 32, 33
+    row = np.asarray((cycle * (t0 // 4))[:t0], np.int32)
+    e_ids = jnp.asarray(row)
+    pe = L.embed_tokens(p["llama"], e_ids[None])
+    ref = greedy_decode(p, CFG, pe, max_new_tokens=new, max_images=1)
+    ids_g = np.asarray(ref["ids"])[: int(ref["n_ids"])]
+    assert [int(x) for x in ids_g[:8]] == [cycle[i % 4] for i in range(8)]
+    spec = greedy_decode_spec(p, CFG, pe, e_ids, max_new_tokens=new,
+                              max_images=1, spec_k=8)
+    _check_equal(spec, ref)
+    # 33 steps: 1 initial advance + ceil(32/8)=4 full chunks -> 5 iters
+    assert int(spec["iters"]) <= 6, int(spec["iters"])
+
+
 # ---- draft-model speculation ----------------------------------------------
 
 
