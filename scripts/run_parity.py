@@ -102,6 +102,22 @@ def main(argv=None):
     py = sys.executable
     a300 = ensure_assets(args.workdir, "300m", args.rows)
 
+    def run_bpe():
+        # real byte-level BPE (LLaMA-3-style split regex + ByteLevel +
+        # bos post-processor, trained locally): fuzz the masking round
+        # arithmetic + bos-dedup splice vs a torch-side reimplementation of
+        # the reference (train.py:501-597, mm_utils.py:191-214)
+        bpe = os.path.join(args.workdir, "tokenizer_bpe")
+        if not os.path.exists(os.path.join(bpe, "tokenizer.json")):
+            rc, res = sh([py, "scripts/make_bpe_tokenizer.py", "--out", bpe],
+                         timeout=1800)
+            if not os.path.exists(os.path.join(bpe, "tokenizer.json")):
+                raise RuntimeError(f"bpe build failed: {res}")
+        return sh([py, "-m", "metamorph_tpu.eval.tokenizer_parity",
+                   "--tokenizer", bpe, "--n", "1000"], timeout=3600)
+
+    phase("tokenizer_bpe", run_bpe)
+
     phase("visual_parity_so400m", lambda: sh(
         [py, "-m", "metamorph_tpu.eval.visual_parity",
          "--siglip", os.path.join(a300, "siglip"), "--cpu"], timeout=3600))

@@ -342,6 +342,29 @@ def test_ngram_draft_prefers_full_continuation():
     np.testing.assert_array_equal(out2, [9, 7, 8, -1, -1])
 
 
+def test_ngram_draft_recent_mostly_full_beats_stale_full():
+    """When continuations drift over time, the most recent match is the
+    better predictor: it wins over an older full-continuation match as long
+    as its truncated continuation covers >= 3/4 of n_draft."""
+    from metamorph_tpu.inference.spec_decode import make_ngram_draft
+
+    draft = make_ngram_draft(4, max_ngram=3)
+    # suffix bigram (7,8): p=0 has the full 4-token continuation
+    # (30,31,32,33) but p=7 is more recent with 3 (>= 3/4*4) real tokens
+    # following — recency wins.
+    hist = np.asarray([7, 8, 30, 31, 32, 33, 99, 7, 8, 55, 7, 8, -1, -1],
+                      np.int32)
+    out = np.asarray(draft(jnp.asarray(hist), jnp.int32(12)))
+    np.testing.assert_array_equal(out, [55, 7, 8, -1])
+
+    # a recent match covering LESS than the threshold still steps back to
+    # the latest full match (the periodic/echo regime)
+    hist2 = np.asarray([7, 8, 30, 31, 32, 33, 99, 7, 8, 7, 8, -1, -1],
+                       np.int32)
+    out2 = np.asarray(draft(jnp.asarray(hist2), jnp.int32(11)))
+    np.testing.assert_array_equal(out2, [30, 31, 32, 33])
+
+
 def test_spec_echo_acceptance_near_spec_k(params):
     """End-to-end acceptance ceiling: a crafted periodic model (cycle-token
     embedding rows scaled so the residual stream is input-dominated + forced
