@@ -204,8 +204,12 @@ def reference_recompute_tok_s(params, cfg, mean_T: int) -> float:
 
     x = jnp.zeros((1, Tm, D), jnp.bfloat16)
     float(fwd(params["llama"], x))  # compile
-    reps = 3
+    # short-T forwards are sub-ms: 3 reps was dominated by per-call dispatch
+    # jitter over the remote tunnel (observed +-30% run-to-run); 12 reps
+    # with a warm first call stabilizes the baseline
+    reps = 12
     s0 = salt_base()  # cross-process result-cache defeat
+    float(fwd(params["llama"], x + jnp.bfloat16(s0 * 1e-3)))  # warm dispatch
     t0 = time.time()
     for i in range(reps):
         float(fwd(params["llama"], x + jnp.bfloat16((s0 + 1 + i) * 1e-3)))
@@ -226,6 +230,7 @@ def bench_decode(cfg, size):
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params_ref = params  # baseline is ALWAYS the bf16 full-recompute loop
     quant = bool(int(os.environ.get("BENCH_DECODE_QUANT", "0")))
     kv_int8 = bool(int(os.environ.get("BENCH_KV_INT8", "0")))
     if quant:
@@ -284,7 +289,7 @@ def bench_decode(cfg, size):
         total_steps += (int(out["steps"]) - 1) * B
     t_full = (time.time() - t0) / n_rep
     tok_s = total_steps / max(n_rep * (t_full - t_prefill), 1e-9)
-    ref_tok_s = reference_recompute_tok_s(params, cfg, T0 + NEW // 2)
+    ref_tok_s = reference_recompute_tok_s(params_ref, cfg, T0 + NEW // 2)
     label = f"greedy decode new tokens/sec ({size} LLM, KV cache" + (
         ", int8 weights" if quant else "") + (
         ", int8 KV" if kv_int8 else "") + (
@@ -594,6 +599,11 @@ def bench_serve(cfg, size):
     from metamorph_tpu.models.metamorph import init_metamorph_params
 
     params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # the reference baseline is ALWAYS the bf16 full-recompute loop (the
+    # reference has no TPU int8 path); timing it with quantized weights
+    # produced the r03 broken 0.3 tok/s row (int8 full-T forward is
+    # pathological) and a meaningless vs_baseline
+    params_ref = params
     kv_int8 = bool(int(os.environ.get("BENCH_KV_INT8", "0")))
     if bool(int(os.environ.get("BENCH_SERVE_QUANT", "0"))):
         from metamorph_tpu.ops.quant import quantize_llama_decode
@@ -672,7 +682,7 @@ def bench_serve(cfg, size):
     tok_s = total / dt
     mean_T = int(np.mean([prefix_len + t0_i + budget / 2
                           for t0_i, budget in lengths]))
-    ref_tok_s = reference_recompute_tok_s(params, cfg, mean_T)
+    ref_tok_s = reference_recompute_tok_s(params_ref, cfg, mean_T)
     print(json.dumps({
         "metric": (f"continuous-batching serve throughput ({size} LLM, "
                    f"{n_slots} slots, {n_req} mixed-length requests, "

@@ -54,7 +54,13 @@ def load_pretrained_model(
     model_path = resolve_model_dir(model_path)
     if hf_siglip_path:
         hf_siglip_path = resolve_model_dir(hf_siglip_path)
-    with open(os.path.join(model_path, "config.json")) as f:
+    # full exports carry our typed config as metamorph_config.json (their
+    # config.json is HF-style for LlamaForCausalLM interop); older exports
+    # wrote our config as config.json directly
+    meta_cfg = os.path.join(model_path, "metamorph_config.json")
+    if not os.path.exists(meta_cfg):
+        meta_cfg = os.path.join(model_path, "config.json")
+    with open(meta_cfg) as f:
         cfg = MetaMorphConfig.from_json(f.read())
 
     tensors = load_safetensors_dir(model_path)
@@ -64,9 +70,15 @@ def load_pretrained_model(
         params["projector"] = mlp_params_from_hf(tensors, "model.mm_projector", dtype)
     if any(k.startswith("vision_head") for k in tensors):
         params["vision_head"] = mlp_params_from_hf(tensors, "vision_head", dtype)
+    tower_prefix = "model.vision_tower.vision_tower.vision_model."
     if hf_siglip_path:
         sig = load_safetensors_dir(hf_siglip_path)
         params["siglip"] = siglip_params_from_hf(sig, cfg.siglip, dtype)
+    elif any(k.startswith(tower_prefix) for k in tensors):
+        # stage-2 full saves embed the tower (`builder.py:85-136` loads it
+        # from the checkpoint dir at inference)
+        params["siglip"] = siglip_params_from_hf(tensors, cfg.siglip, dtype,
+                                                 prefix=tower_prefix)
     return params, cfg
 
 

@@ -152,22 +152,111 @@ def params_dtype(params: Any):
 # HF-format full export
 # ---------------------------------------------------------------------------
 
-def export_hf(out_dir: str, params: Any, cfg) -> None:
-    """Gathered bf16 HF export: LLaMA backbone + projector + vision head under
-    reference key names (`model.mm_projector.*`, `vision_head.*`)."""
+def export_siglip_hf(out_dir: str, siglip_params: Any, siglip_cfg,
+                     dtype=np.float32) -> None:
+    """Standalone HF `SiglipVisionModel.from_pretrained`-loadable tower dir
+    (weights + config.json), the piece the reference's `load_pretrained_model`
+    needs when it reconstructs the vision tower at inference
+    (`/root/reference/metamorph/model/builder.py:128-136`)."""
     from safetensors.numpy import save_file
 
-    from metamorph_tpu.models.hf_import import llama_params_to_hf, mlp_params_to_hf
+    from metamorph_tpu.models.hf_import import siglip_params_to_hf
+
+    os.makedirs(out_dir, exist_ok=True)
+    tensors = siglip_params_to_hf(jax.device_get(siglip_params), siglip_cfg)
+    save_file({k: np.ascontiguousarray(v, dtype) for k, v in tensors.items()},
+              os.path.join(out_dir, "model.safetensors"))
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump({
+            "architectures": ["SiglipVisionModel"],
+            "model_type": "siglip_vision_model",
+            "hidden_size": siglip_cfg.hidden_size,
+            "intermediate_size": siglip_cfg.intermediate_size,
+            "num_hidden_layers": siglip_cfg.num_layers,
+            "num_attention_heads": siglip_cfg.num_heads,
+            "image_size": siglip_cfg.image_size,
+            "patch_size": siglip_cfg.patch_size,
+            "layer_norm_eps": siglip_cfg.layer_norm_eps,
+            "hidden_act": "gelu_pytorch_tanh",
+            "num_channels": 3,
+            "torch_dtype": "float32" if dtype == np.float32 else "bfloat16",
+        }, f, indent=1)
+
+
+def export_hf(out_dir: str, params: Any, cfg,
+              tokenizer_dir: Optional[str] = None) -> None:
+    """Full-model HF export in the layout the reference's
+    `load_pretrained_model` consumes (`/root/reference/metamorph/model/
+    builder.py:85-136`, save-side `train.py:210-222`):
+
+      * LLaMA backbone under HF names + an HF-style `config.json`
+        (LlamaForCausalLM-loadable; carries the reference's persisted mm
+        fields, `train.py:1511-1544`) + `model.safetensors.index.json`;
+      * projector (`model.mm_projector.*`) and vision head (`vision_head.*`)
+        under the reference key names;
+      * the SigLIP tower BOTH in-checkpoint under the reference's module path
+        (`model.vision_tower.vision_tower.vision_model.*` — a stage-2 full
+        finetune save includes the tower, so `is_loaded` holds after
+        `from_pretrained`) and as a standalone HF dir `vision_tower/`;
+      * our full typed config as `metamorph_config.json` (the framework
+        loader's source of truth);
+      * tokenizer files copied in when `tokenizer_dir` is given (the
+        reference loads `AutoTokenizer.from_pretrained(model_path)`).
+    """
+    from safetensors.numpy import save_file
+
+    from metamorph_tpu.models.hf_import import (llama_config_to_hf,
+                                                llama_params_to_hf,
+                                                mlp_params_to_hf,
+                                                siglip_params_to_hf)
 
     os.makedirs(out_dir, exist_ok=True)
     params = jax.device_get(params)
     tensors = llama_params_to_hf(params["llama"], cfg.llama)
     tensors.update(mlp_params_to_hf(params["projector"], "model.mm_projector", None))
     tensors.update(mlp_params_to_hf(params["vision_head"], "vision_head", None))
-    save_file({k: np.ascontiguousarray(v) for k, v in tensors.items()},
-              os.path.join(out_dir, "model.safetensors"))
+    if "siglip" in params:
+        tensors.update(siglip_params_to_hf(
+            params["siglip"], cfg.siglip,
+            prefix="model.vision_tower.vision_tower.vision_model."))
+        export_siglip_hf(os.path.join(out_dir, "vision_tower"),
+                         params["siglip"], cfg.siglip)
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
+    save_file(tensors, os.path.join(out_dir, "model.safetensors"))
+    with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
+        json.dump({
+            "metadata": {"total_size": int(sum(
+                v.nbytes for v in tensors.values()))},
+            "weight_map": {k: "model.safetensors" for k in tensors},
+        }, f)
+
+    hf_cfg = llama_config_to_hf(cfg.llama)
+    hf_cfg.update({
+        # the reference persists these onto model.config so a checkpoint is
+        # self-describing (`train.py:1511-1544`)
+        "mm_projector_type": cfg.mm.projector_type,
+        "mm_vision_tower": "./vision_tower",
+        "mm_use_im_start_end": cfg.mm.mm_use_im_start_end,
+        "num_image_tokens": cfg.mm.num_image_tokens,
+        "vision_head_type": cfg.mm.vision_head_type,
+        "normalize_vision": cfg.mm.normalize_vision,
+        "apply_softmax": cfg.mm.apply_softmax,
+        "image_aspect_ratio": cfg.mm.image_aspect_ratio,
+        "tokenizer_model_max_length": cfg.train.max_seq_len,
+    })
     with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+    with open(os.path.join(out_dir, "metamorph_config.json"), "w") as f:
         f.write(cfg.to_json())
+    if tokenizer_dir:
+        import shutil
+
+        for name in ("tokenizer.json", "tokenizer_config.json",
+                     "special_tokens_map.json", "tokenizer.model",
+                     "vocab.json", "merges.txt", "added_tokens.json"):
+            src = os.path.join(tokenizer_dir, name)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(out_dir, name))
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,13 @@ MATRIX = {
                                "BENCH_DECODE_QUANT": "1",
                                "BENCH_DECODE_BATCH": "8",
                                "BENCH_DECODE_T0": "3968"},
+    # speculation evaluated against the STRONGEST plain decode config
+    # (int8 weights + int8 KV at B=8/4k — the r03 verdict's missing row)
+    "spec_decode_int8w_int8kv_b8_4k": {"BENCH_MODE": "spec_decode",
+                                       "BENCH_DECODE_QUANT": "1",
+                                       "BENCH_KV_INT8": "1",
+                                       "BENCH_DECODE_BATCH": "8",
+                                       "BENCH_DECODE_T0": "3968"},
     "render_sd15_512px": {"BENCH_MODE": "render"},
 }
 

@@ -30,6 +30,57 @@ def test_export_then_load(tmp_path):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_export_embeds_tower_and_hf_reload(tmp_path):
+    """Full-export round trip (`/root/reference/metamorph/model/builder.py:
+    85-136`): the save carries the SigLIP tower (in-checkpoint + standalone
+    HF dir), an HF-style config.json with the reference's persisted mm
+    fields, and reloads in UNMODIFIED transformers code with exact logits."""
+    import json
+
+    import torch
+    from transformers import LlamaForCausalLM, SiglipVisionModel
+
+    from metamorph_tpu.models import llama as L
+
+    params = M.init_metamorph_params(jax.random.PRNGKey(1), CFG,
+                                     dtype=jnp.float32)
+    export_hf(str(tmp_path), params, CFG)
+
+    # our loader recovers the tower from the checkpoint itself
+    loaded, _ = load_pretrained_model(str(tmp_path), dtype=jnp.float32)
+    for a, b in zip(jax.tree.leaves(params["siglip"]),
+                    jax.tree.leaves(loaded["siglip"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # HF-style config.json with the reference's persisted mm fields
+    hf_cfg = json.load(open(tmp_path / "config.json"))
+    assert hf_cfg["model_type"] == "llama"
+    assert hf_cfg["mm_projector_type"] == CFG.mm.projector_type
+    assert hf_cfg["num_image_tokens"] == CFG.mm.num_image_tokens
+    assert (tmp_path / "model.safetensors.index.json").exists()
+
+    # unmodified transformers reloads: tower dir ...
+    tower = SiglipVisionModel.from_pretrained(str(tmp_path / "vision_tower"))
+    w = tower.vision_model.embeddings.patch_embedding.weight.detach().numpy()
+    np.testing.assert_allclose(
+        w, np.asarray(params["siglip"]["patch_embed"]["kernel"]).transpose(
+            3, 2, 0, 1), rtol=1e-6)
+
+    # ... and the LLaMA backbone, with logit parity vs our forward
+    model = LlamaForCausalLM.from_pretrained(
+        str(tmp_path), torch_dtype=torch.float32).eval()
+    ids = np.random.default_rng(0).integers(
+        0, CFG.llama.vocab_size, (1, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+    emb = L.embed_tokens(loaded["llama"], jnp.asarray(ids))
+    pos = jnp.arange(12, dtype=jnp.int32)[None]
+    hidden = L.llama_forward(loaded["llama"], CFG.llama, emb, pos,
+                             jnp.ones((1, 12), jnp.int32))
+    ours = np.asarray(L.lm_head(loaded["llama"], CFG.llama, hidden))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_flatten_unflatten_roundtrip():
     tree = {"a": {"b": jnp.ones((2, 3)), "layers": [{"w": jnp.zeros((4,))},
                                                     {"w": jnp.ones((4,))}]}}
