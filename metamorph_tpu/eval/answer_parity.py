@@ -205,16 +205,20 @@ def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
         # full-recompute greedy, text-only (stop at image mode like the demo
         # VQA flow; answers are text)
         answer_ids: List[int] = []
+        margins: List[float] = []   # top1-top2 logit gap per greedy step
         seq = embeds
         for _ in range(max_new_tokens):
             logits = model(inputs_embeds=seq).logits[0, -1]
+            top2 = torch.topk(logits, 2).values
+            margins.append(float(top2[0] - top2[1]))
             tok = int(torch.argmax(logits))
             if tok in LLAMA3_EOS_IDS or tok == IM_START_TOKEN_ID:
                 break
             if tok != IM_END_TOKEN_ID:
                 answer_ids.append(tok)
             seq = torch.cat([seq, embed_table(torch.tensor([[tok]]))], dim=1)
-    return {"answer_ids": answer_ids, "prompt_logits": logits_prompt}
+    return {"answer_ids": answer_ids, "prompt_logits": logits_prompt,
+            "margins": margins}
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +233,7 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
     when ref_fn is given, against a live reference run (answers + logits)."""
     n = exact = norm = 0
     cosines: List[float] = []
+    margins: List[float] = []
     vqa_acc_sum, n_multi = 0.0, 0
     for row in rows:
         ours = our_fn(row)
@@ -240,6 +245,7 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
                 map(str, ref["answer_ids"]))
             cos = logit_cosine(ours["prompt_logits"], ref["prompt_logits"])
             cosines.append(cos["mean"])
+            margins.extend(ref.get("margins", []))
         else:
             ref_text = row.get("answer", "")
         n += 1
@@ -262,6 +268,12 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
     if n_multi:
         result["vqa_accuracy"] = vqa_acc_sum / n_multi
         result["n_multi_annotator"] = n_multi
+    if margins:
+        # fp32-reference greedy top1-top2 logit gaps: documents whether the
+        # model's answers are decisive (large gaps -> int8 noise cannot flip
+        # the argmax; the trained-parity int8 row relies on this)
+        result["ref_margin_min"] = float(np.min(margins))
+        result["ref_margin_mean"] = float(np.mean(margins))
     if cosines:
         result["mean_logit_cosine"] = float(np.mean(cosines))
         result["min_logit_cosine"] = float(np.min(cosines))

@@ -227,6 +227,40 @@ def shift_packed_shard(packed: PackedBatch, slot_base: int, K: int,
     return _dc.replace(packed, img_gather_idx=gather.astype(np.int32))
 
 
+def shift_packed_anyres_shard(packed: PackedBatch, shard_index: int,
+                              local_token_capacity: int,
+                              local_view_tokens: int,
+                              global_token_capacity: int) -> PackedBatch:
+    """Anyres counterpart of `shift_packed_shard` (per-host pod loading).
+
+    Each host packs its local rows against local static budgets
+    (token_capacity tc_local, view stack vc_local); globally the merged
+    image-token table is the concatenation of the hosts' [tc_local] blocks
+    and the view-pixel stack the concatenation of their [vc_local] blocks.
+    This shifts a host's shard into global numbering:
+      * img_gather_idx: image positions move up by shard_index*tc_local;
+        non-image positions re-point at the GLOBAL dummy row
+        (global_token_capacity — `fuse_embeddings` appends it after the
+        table);
+      * view_map: real entries (>= 0, flat indices into the local
+        [vc_local * P^2] view-token block) move up by `local_view_tokens` =
+        shard_index-agnostic block size times the shard index; the
+        NEWLINE/PAD sentinels (< 0) are layout-independent and stay.
+    The global table LAYOUT differs from single-host packing (each host's
+    images start at its block boundary, not at the global cumulative sum) —
+    the fused embeddings are identical, which is what the sharded==replicated
+    test asserts."""
+    import dataclasses as _dc
+
+    base = shard_index * local_token_capacity
+    gather = np.where(packed.is_image, packed.img_gather_idx + base,
+                      global_token_capacity)
+    vm = np.asarray(packed.view_map)
+    vm = np.where(vm >= 0, vm + shard_index * local_view_tokens, vm)
+    return _dc.replace(packed, img_gather_idx=gather.astype(np.int32),
+                       view_map=vm.astype(np.int32))
+
+
 # host-side-only fields: the AR gather plan is superseded by the mask-based
 # AR loss (the [B,T] image_ar_mask + img_gather_idx); kept on PackedBatch for
 # packer tests and the trainer's K detection, but never shipped to the device

@@ -515,18 +515,31 @@ class PackedCollator:
     view_capacity: int = 0    # 0 -> derived from pinpoints * slots
     token_capacity: int = 0   # 0 -> derived (view_capacity * (P^2 + P))
 
-    def _anyres_caps(self) -> Tuple[int, int, int]:
+    def _anyres_caps(self, num_image_slots: Optional[int] = None
+                     ) -> Tuple[int, int, int]:
         S, p = self.image_size, self.patch_size
         P = S // p
         max_tiles = max((w // S) * (h // S) for w, h in self.grid_pinpoints)
         vc = self.view_capacity or self.num_image_slots * (1 + max_tiles)
         tc = self.token_capacity or vc * (P * P + P)
+        if num_image_slots is not None \
+                and num_image_slots != self.num_image_slots:
+            # per-host shard budgets (multi-host pods): scale the global
+            # capacities by the slot fraction so concat-of-shards == global
+            if (vc * num_image_slots) % self.num_image_slots \
+                    or (tc * num_image_slots) % self.num_image_slots:
+                raise ValueError(
+                    "anyres capacities must divide evenly across hosts")
+            vc = vc * num_image_slots // self.num_image_slots
+            tc = tc * num_image_slots // self.num_image_slots
         return P, vc, tc
 
-    def _collate_anyres(self, instances) -> Tuple[PackedBatch, np.ndarray]:
+    def _collate_anyres(self, instances,
+                        num_image_slots: Optional[int] = None
+                        ) -> Tuple[PackedBatch, np.ndarray]:
         from metamorph_tpu.multimodal.anyres import build_batch_plan
 
-        P, vc, tc = self._anyres_caps()
+        P, vc, tc = self._anyres_caps(num_image_slots)
         S = self.image_size
         views, sizes, n_views = [], [], []
         for inst in instances:
@@ -548,7 +561,8 @@ class PackedCollator:
         packed = packer(
             [inst["input_ids"] for inst in instances],
             [inst["labels"] for inst in instances],
-            self.num_image_tokens, self.max_seq_len, self.num_image_slots,
+            self.num_image_tokens, self.max_seq_len,
+            num_image_slots or self.num_image_slots,
             tokens_per_image=tokens_per_image, gather_capacity=tc)
         import dataclasses as _dc
 
@@ -569,7 +583,7 @@ class PackedCollator:
                  num_image_slots: Optional[int] = None
                  ) -> Tuple[PackedBatch, np.ndarray]:
         if self.image_aspect_ratio == "anyres":
-            return self._collate_anyres(instances)
+            return self._collate_anyres(instances, num_image_slots)
         K = num_image_tokens or self.num_image_tokens
         N = num_image_slots or self.num_image_slots
         ids = [inst["input_ids"] for inst in instances]
@@ -648,9 +662,9 @@ class DataIterator:
             if collator.num_image_slots % self.process_count:
                 raise ValueError("num_image_slots must divide by process_count")
             if collator.image_aspect_ratio == "anyres":
-                raise NotImplementedError(
-                    "per-host sharded loading + anyres not supported yet; "
-                    "run anyres with replicated loading (process_count=1)")
+                # shard budgets must split evenly (raises early if not)
+                collator._anyres_caps(collator.num_image_slots
+                                      // self.process_count)
         self.epoch = 0
         self.step_in_epoch = 0
 
@@ -711,9 +725,19 @@ class DataIterator:
                     rows = [self.dataset[order[lo + k]] for k in range(B_local)]
                     packed, pixels = self.collator(
                         rows, num_image_tokens=K, num_image_slots=N_local)
-                    packed = shift_packed_shard(
-                        packed, self.process_index * N_local,
-                        K or self.collator.num_image_tokens, N_global)
+                    if self.collator.image_aspect_ratio == "anyres":
+                        from metamorph_tpu.multimodal.packing import \
+                            shift_packed_anyres_shard
+
+                        P_side, vc_l, tc_l = self.collator._anyres_caps(N_local)
+                        _, _, tc_g = self.collator._anyres_caps()
+                        packed = shift_packed_anyres_shard(
+                            packed, self.process_index, tc_l,
+                            vc_l * P_side * P_side, tc_g)
+                    else:
+                        packed = shift_packed_shard(
+                            packed, self.process_index * N_local,
+                            K or self.collator.num_image_tokens, N_global)
                     yield packed, pixels
             self.epoch += 1
             self.step_in_epoch = 0

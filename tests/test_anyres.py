@@ -210,3 +210,73 @@ def test_anyres_decode(fwd_setup):
                    max_images=1)
     assert int(out["n_ids"]) > 0
     assert np.isfinite(np.asarray(out["image_embeds"])).all()
+
+
+def test_anyres_sharded_loading_matches_replicated(fwd_setup, tmp_path):
+    """Per-host pod loading for anyres (multi-host, SURVEY §2.2): two
+    process-sharded DataIterators must reconstruct a global batch whose FUSED
+    EMBEDDINGS equal the replicated (process_count=1) batch's. The global
+    table layout differs (each host's images start at its block boundary);
+    the fusion result is what matters."""
+    from PIL import Image
+
+    from metamorph_tpu.models import metamorph as M
+    from metamorph_tpu.train.data import (DataConfig, DataIterator,
+                                          LazySupervisedDataset, PackedCollator)
+    from tests.test_masking import fake_tokenize
+
+    cfg, params = fwd_setup
+    rng = np.random.default_rng(3)
+    rows = []
+    for i, hw in enumerate([(30, 60), (60, 30), None, (40, 40)]):
+        row = {"id": f"r{i}",
+               "conversations": [
+                   {"from": "human",
+                    "value": ("<image>\n" if hw else "") + f"q {i}"},
+                   {"from": "gpt", "value": f"ans {i}"}]}
+        if hw:
+            img_path = tmp_path / f"im{i}.png"
+            Image.fromarray(rng.integers(0, 256, (*hw, 3)).astype(np.uint8)
+                            ).save(img_path)
+            row["image"] = str(img_path)
+        else:
+            row["image"] = None
+        rows.append(row)
+    path = tmp_path / "d.jsonl"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    dcfg = DataConfig(data_path=str(path), image_aspect_ratio="anyres",
+                      image_size=CROP, grid_pinpoints=tuple(PINPOINTS))
+    ds = LazySupervisedDataset(str(path), fake_tokenize, dcfg)
+    col = PackedCollator(num_image_tokens=4, max_seq_len=64,
+                         num_image_slots=4, image_size=CROP,
+                         image_aspect_ratio="anyres", grid_pinpoints=PINPOINTS)
+
+    packed_g, pixels_g = next(iter(DataIterator(ds, col, batch_size=4,
+                                                seed=0)))
+    shards = [next(iter(DataIterator(ds, col, batch_size=4, seed=0,
+                                     process_index=p, process_count=2)))
+              for p in range(2)]
+
+    # reconstruct the global batch the way the SPMD feed does (concat along
+    # the sharded axes)
+    batch_g = {k: jnp.asarray(v) for k, v in batch_to_arrays(packed_g).items()}
+    cat = {}
+    for k in batch_g:
+        a = batch_to_arrays(shards[0][0])[k]
+        b = batch_to_arrays(shards[1][0])[k]
+        cat[k] = jnp.asarray(np.concatenate([a, b], axis=0))
+    pixels_cat = np.concatenate([shards[0][1], shards[1][1]], axis=0)
+    assert cat["view_map"].shape == batch_g["view_map"].shape
+    assert pixels_cat.shape == pixels_g.shape
+
+    proj_g, _ = M.encode_images(params, cfg, jnp.asarray(pixels_g))
+    emb_g = np.asarray(M.fuse_embeddings(params, cfg, batch_g, proj_g))
+    proj_s, _ = M.encode_images(params, cfg, jnp.asarray(pixels_cat))
+    emb_s = np.asarray(M.fuse_embeddings(params, cfg, cat, proj_s))
+
+    np.testing.assert_array_equal(np.asarray(cat["tokens"]),
+                                  np.asarray(batch_g["tokens"]))
+    np.testing.assert_allclose(emb_s, emb_g, rtol=1e-5, atol=1e-5)

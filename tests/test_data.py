@@ -300,10 +300,12 @@ def test_process_sharded_rejects_bad_config(mixed_jsonl):
     with pytest.raises(ValueError, match="divide"):
         DataIterator(ds, col, batch_size=5, seed=0, process_index=0,
                      process_count=2)
+    # anyres + sharded loading is supported (round 4); budgets that do not
+    # split evenly across hosts are rejected early
     col_any = PackedCollator(num_image_tokens=4, max_seq_len=64,
                              num_image_slots=8, image_size=28,
                              image_aspect_ratio="anyres",
-                             grid_pinpoints=[(28, 56)])
-    with pytest.raises(NotImplementedError):
+                             grid_pinpoints=[(28, 56)], token_capacity=9)
+    with pytest.raises(ValueError, match="divide"):
         DataIterator(ds, col_any, batch_size=4, seed=0, process_index=0,
                      process_count=2)
