@@ -604,6 +604,29 @@ def bench_serve(cfg, size):
     # produced the r03 broken 0.3 tok/s row (int8 full-T forward is
     # pathological) and a meaningless vs_baseline
     params_ref = params
+    if os.environ.get("BENCH_SERVE_CONTENT") == "mixed":
+        # mixed-workload crafting: cycle-token embeddings are scaled so the
+        # residual stream is input-dominated and the lm_head gains FORCED
+        # cycle->next mappings ON TOP of its random kernel — rows whose
+        # prompts are periodic generate the cycle forever (prompt-lookup
+        # drafts verify), rows with random prompts keep decoding randomly
+        # (drafts never verify). The per-row adaptive speculation scenario.
+        cyc = [11, 22, 33, 44]
+        emb = np.asarray(params["llama"]["embed"]["embedding"],
+                         np.float32).copy()
+        for t in cyc:
+            emb[t] *= 64.0
+        kern = np.asarray(params["llama"]["lm_head"]["kernel"],
+                          np.float32).copy()
+        for j, t in enumerate(cyc):
+            kern[:, cyc[(j + 1) % 4]] += emb[t] * (
+                5.0 / max(1.0, float(np.dot(emb[t], emb[t]))))
+        params = dict(params)
+        params["llama"] = dict(params["llama"])
+        params["llama"]["embed"] = {"embedding": jnp.asarray(emb,
+                                                             jnp.bfloat16)}
+        params["llama"]["lm_head"] = {"kernel": jnp.asarray(kern,
+                                                            jnp.bfloat16)}
     kv_int8 = bool(int(os.environ.get("BENCH_KV_INT8", "0")))
     if bool(int(os.environ.get("BENCH_SERVE_QUANT", "0"))):
         from metamorph_tpu.ops.quant import quantize_llama_decode
@@ -636,13 +659,23 @@ def bench_serve(cfg, size):
                 int(rng.integers(new_max // 4, new_max)))
                for _ in range(n_req)]
 
+    # BENCH_SERVE_CONTENT=mixed: odd-uid requests carry PERIODIC content
+    # (prompt-lookup drafts verify on an echo-crafted model) while even ones
+    # stay random — the per-row adaptive speculation scenario
+    content = os.environ.get("BENCH_SERVE_CONTENT", "random")
+
     def make_reqs(salt):
         rng_c = np.random.default_rng(os.getpid() * 1000 + salt)
         pfx = (rng_c.integers(10, 100000, (prefix_len,)).astype(np.int32)
                if prefix_len else None)
         reqs = []
         for i, (t0, budget) in enumerate(lengths):
-            ids = rng_c.integers(10, 100000, (t0,)).astype(np.int32)
+            if content == "mixed" and i % 2:
+                cyc = [11, 22, 33, 44]
+                ids = np.asarray((cyc * (t0 // 4 + 1))[:t0], np.int32)
+                ids[0] += salt % 4      # salt the phase, keep the period
+            else:
+                ids = rng_c.integers(10, 100000, (t0,)).astype(np.int32)
             if use_embeds:
                 pe = np.asarray(L.embed_tokens(params["llama"], ids[None])[0])
                 reqs.append(Request(prompt_embeds=pe, max_new_tokens=budget,
@@ -662,22 +695,30 @@ def bench_serve(cfg, size):
                               "BENCH_SERVE_SYNC", 16)),
                           fill_chunk=int(os.environ.get(
                               "BENCH_SERVE_FILL", 0)),
+                          max_fills=int(os.environ.get(
+                              "BENCH_SERVE_MAX_FILLS", 2)),
                           kv_int8=kv_int8,
                           spec_k=int(os.environ.get("BENCH_SERVE_SPEC_K",
                                                     0)),
                           shared_prefix_ids=prefix_ids)
+        # BENCH_SERVE_SPEC_FORCE=always disables the per-row adaptive
+        # routing (baseline for the mixed-content scenario)
+        if os.environ.get("BENCH_SERVE_SPEC_FORCE") == "always":
+            eng.spec_overhead_frac = -1e9
         for r in reqs:
             eng.submit(r)
         done = eng.run()
-        return sum(c.steps for c in done), eng.spec_accepted
+        q = [c.queue_s for c in done]
+        return (sum(c.steps for c in done), eng.spec_accepted,
+                float(np.mean(q)), float(np.max(q)))
 
     reqs_a, pfx_a = make_reqs(0)
     reqs_b, pfx_b = make_reqs(1)
     t0 = time.time()
-    total, _ = run(reqs_a, pfx_a)
+    total, _, _, _ = run(reqs_a, pfx_a)
     log(f"serve compile+run: {time.time()-t0:.1f}s total_new={total}")
     t0 = time.time()
-    total, spec_accepted = run(reqs_b, pfx_b)
+    total, spec_accepted, mean_queue_s, max_queue_s = run(reqs_b, pfx_b)
     dt = time.time() - t0
     tok_s = total / dt
     mean_T = int(np.mean([prefix_len + t0_i + budget / 2
@@ -694,6 +735,8 @@ def bench_serve(cfg, size):
         "unit": "new tokens/sec",
         "vs_baseline": round(tok_s / ref_tok_s, 2),
         "reference_recompute_tok_s": round(ref_tok_s, 1),
+        "mean_queue_s": round(mean_queue_s, 3),
+        "max_queue_s": round(max_queue_s, 3),
         **({"spec_accepted_drafts": spec_accepted}
            if int(os.environ.get("BENCH_SERVE_SPEC_K", 0)) else {}),
     }))

@@ -94,6 +94,9 @@ def main(argv=None):
     p.add_argument("--fill-chunk", type=int, default=256,
                    help="chunked-prefill chunk size for long prompts "
                         "(0 disables; must divide --max-cache-len)")
+    p.add_argument("--max-fills", type=int, default=2,
+                   help="long-prompt admissions streaming concurrently "
+                        "through the fused decode+chunk program")
     p.add_argument("--steps-per-sync", type=int, default=8,
                    help="decode steps per scheduler sync")
     p.add_argument("--temperature", type=float, default=0.0,
@@ -127,6 +130,7 @@ def main(argv=None):
                       max_cache_len=args.max_cache_len,
                       max_new_tokens_cap=args.max_new_tokens,
                       fill_chunk=args.fill_chunk,
+                      max_fills=args.max_fills,
                       steps_per_sync=args.steps_per_sync,
                       seed=args.seed, kv_int8=args.kv_int8,
                       spec_k=args.spec_k, draft=_load_draft(args))

@@ -61,6 +61,65 @@ MATRIX = {
                                        "BENCH_DECODE_BATCH": "8",
                                        "BENCH_DECODE_T0": "3968"},
     "render_sd15_512px": {"BENCH_MODE": "render"},
+    # per-row adaptive speculation (r4): mixed workload — half the requests
+    # carry periodic (drafting-friendly) content on a crafted model, half
+    # are random. At the LONG-CONTEXT shape the echo rows' accepted drafts
+    # amortize the expensive per-step KV reads, so adaptive must BEAT both
+    # no-spec and forced-spec (measured on this chip: 1472 vs 1234 vs 1300
+    # tok/s). At the short default shape plain decode is cheap enough that
+    # spec never pays — adaptive must CONVERGE TO no-spec there (measured:
+    # 1593 ~ 1578 vs 791 forced).
+    "serve_mixed_spec_adaptive_4k": {"BENCH_MODE": "serve",
+                                     "BENCH_SERVE_CONTENT": "mixed",
+                                     "BENCH_SERVE_T0": "2048",
+                                     "BENCH_SERVE_CACHE": "4096",
+                                     "BENCH_SERVE_NEW": "512",
+                                     "BENCH_SERVE_REQUESTS": "16",
+                                     "BENCH_SERVE_SPEC_K": "8"},
+    "serve_mixed_spec_always_4k": {"BENCH_MODE": "serve",
+                                   "BENCH_SERVE_CONTENT": "mixed",
+                                   "BENCH_SERVE_T0": "2048",
+                                   "BENCH_SERVE_CACHE": "4096",
+                                   "BENCH_SERVE_NEW": "512",
+                                   "BENCH_SERVE_REQUESTS": "16",
+                                   "BENCH_SERVE_SPEC_K": "8",
+                                   "BENCH_SERVE_SPEC_FORCE": "always"},
+    "serve_mixed_nospec_4k": {"BENCH_MODE": "serve",
+                              "BENCH_SERVE_CONTENT": "mixed",
+                              "BENCH_SERVE_T0": "2048",
+                              "BENCH_SERVE_CACHE": "4096",
+                              "BENCH_SERVE_NEW": "512",
+                              "BENCH_SERVE_REQUESTS": "16"},
+    # the short-shape crossover: spec cannot pay at 8 slots/512 cache, so
+    # adaptive must track no-spec while forced-spec halves throughput
+    "serve_mixed_spec_adaptive_short": {"BENCH_MODE": "serve",
+                                        "BENCH_SERVE_CONTENT": "mixed",
+                                        "BENCH_SERVE_SPEC_K": "6"},
+    "serve_mixed_spec_always_short": {"BENCH_MODE": "serve",
+                                      "BENCH_SERVE_CONTENT": "mixed",
+                                      "BENCH_SERVE_SPEC_K": "6",
+                                      "BENCH_SERVE_SPEC_FORCE": "always"},
+    "serve_mixed_nospec_short": {"BENCH_MODE": "serve",
+                                 "BENCH_SERVE_CONTENT": "mixed"},
+    # all-random + forced speculation: the cost of NOT adapting (adaptive's
+    # counterpart is the plain serve_600m_8slots row + spec_adaptive below)
+    "serve_random_spec_always": {"BENCH_MODE": "serve",
+                                 "BENCH_SERVE_SPEC_K": "8",
+                                 "BENCH_SERVE_SPEC_FORCE": "always"},
+    "serve_random_spec_adaptive": {"BENCH_MODE": "serve",
+                                   "BENCH_SERVE_SPEC_K": "8"},
+    # multi-slot chunked fill (r4): churn-heavy long-prompt admission —
+    # queue latency with 1 vs 2 concurrent fills
+    "serve_churn_fill1": {"BENCH_MODE": "serve", "BENCH_SERVE_T0": "2048",
+                          "BENCH_SERVE_CACHE": "4096",
+                          "BENCH_SERVE_REQUESTS": "16",
+                          "BENCH_SERVE_FILL": "256",
+                          "BENCH_SERVE_MAX_FILLS": "1"},
+    "serve_churn_fill2": {"BENCH_MODE": "serve", "BENCH_SERVE_T0": "2048",
+                          "BENCH_SERVE_CACHE": "4096",
+                          "BENCH_SERVE_REQUESTS": "16",
+                          "BENCH_SERVE_FILL": "256",
+                          "BENCH_SERVE_MAX_FILLS": "2"},
 }
 
 

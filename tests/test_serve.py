@@ -134,12 +134,12 @@ def test_chunked_fill_matches_blocking_prefill(params):
     assert eng.fill_chunk == 4  # 64 % 4 == 0 -> chunked fill enabled
     eng.submit(Request(prompt_embeds=prompts[0], max_new_tokens=12, uid="a"))
     eng.step()                  # blocking admit (nothing decoding yet)
-    assert eng._fill is None
+    assert not eng._fills
     # "b" (13 tokens -> 4 chunks of 4) arrives while "a" decodes: must go
     # through the chunked-fill path
     eng.submit(Request(prompt_embeds=prompts[1], max_new_tokens=9, uid="b"))
     eng.step()
-    assert eng._fill is not None or eng.slot_uid.count(None) == 0
+    assert eng._fills or eng.slot_uid.count(None) == 0
     done = eng.run()
     assert sorted(str(c.uid) for c in done) == ["a", "b"]
     for c in done:
@@ -263,7 +263,7 @@ def test_chunked_fill_ids_matches_blocking(params):
     eng2.step()
     eng2.submit(mk())
     eng2.step()
-    assert eng2._fill is not None or eng2.slot_uid.count(None) == 0
+    assert eng2._fills or eng2.slot_uid.count(None) == 0
     done = {c.uid: c for c in eng2.run()}
     np.testing.assert_array_equal(done["x"].ids, ref.ids)
     np.testing.assert_allclose(done["x"].image_embeds, ref.image_embeds,
@@ -432,3 +432,37 @@ def test_serve_streaming_with_chunked_fill(params):
     for uid in ("a", "b"):
         streamed = np.concatenate(chunks[uid]) if chunks[uid] else np.array([])
         np.testing.assert_array_equal(streamed, done[uid].ids)
+
+
+def test_multi_slot_fill_matches_blocking(params):
+    """Multi-slot chunked fill (max_fills=2): two long ids-prompts stream
+    their chunks through the SAME ticks (both fills observed in flight), and
+    every completion exactly matches the no-fill engine's."""
+    rng = np.random.default_rng(17)
+    ids_a = rng.integers(10, 1000, (13,)).astype(np.int32)
+    ids_b = rng.integers(10, 1000, (11,)).astype(np.int32)
+    short = rng.integers(10, 1000, (4,)).astype(np.int32)
+
+    def run(fill):
+        eng = ServeEngine(params, CFG, n_slots=3, max_cache_len=64,
+                          max_new_tokens_cap=16, max_images=1,
+                          prefill_buckets=(8, 16), steps_per_sync=2,
+                          fill_chunk=4 if fill else 0, max_fills=2)
+        eng.submit(Request(prompt_ids=short.copy(), max_new_tokens=12,
+                           uid="s"))
+        eng.step()           # "s" admits blocking and starts decoding
+        eng.submit(Request(prompt_ids=ids_a.copy(), max_new_tokens=9,
+                           uid="a"))
+        eng.submit(Request(prompt_ids=ids_b.copy(), max_new_tokens=8,
+                           uid="b"))
+        most_fills = 0
+        while eng.pending or any(u is not None for u in eng.slot_uid):
+            eng.step()
+            most_fills = max(most_fills, len(eng._fills))
+        return {str(c.uid): c for c in eng.completed}, most_fills
+
+    plain, _ = run(False)
+    filled, most = run(True)
+    assert most == 2          # both fills were in flight together
+    for uid in ("s", "a", "b"):
+        np.testing.assert_array_equal(filled[uid].ids, plain[uid].ids)

@@ -191,7 +191,11 @@ def test_spec_engine_adapts_off_on_zero_acceptance(params):
         for r in _id_reqs(31, [6, 5], [16, 16]):
             eng.submit(r)
     _assert_same(_by_uid(plain_eng.run()), _by_uid(spec_eng.run()))
-    assert spec_eng._spec_plain_left > 0   # fell back to plain mid-run
+    # fell back to plain mid-run: the per-row rates converged to ~0 and the
+    # last ticks routed through the plain program
+    assert spec_eng._ticks_since_spec > 0
+    probed = spec_eng._row_rate[spec_eng._row_rate >= 0]
+    assert probed.size and probed.max() < spec_eng.spec_overhead_frac
 
 
 def test_spec_engine_stays_on_when_accepting(params):
@@ -209,7 +213,66 @@ def test_spec_engine_stays_on_when_accepting(params):
         prompt_ids=np.asarray([111, 222, 111, 222, 111, 222], np.int32),
         max_new_tokens=14, uid="r"))
     eng.run()
-    assert eng._spec_plain_left == 0
+    assert eng._ticks_since_spec == 0   # never routed a plain tick
+
+
+def test_spec_engine_per_row_mixed_batch(params):
+    """One echo-y row + one random row IN THE SAME BATCH: the per-row
+    policy keeps speculation on (the echo row's extras alone beat the chunk
+    overhead — the r3 engine-wide zero-accept counter could not see this),
+    the per-row rates separate, and outputs stay exactly the plain
+    engine's."""
+    # two fully-forced deterministic behaviors on a zeroed kernel (a random
+    # base kernel cannot host an echo row AND a drafting-proof row at tiny
+    # scale): a 111<->222 cycle (prompt-lookup drafts verify forever) and a
+    # strictly increasing chain t->t+1 (the suffix n-gram NEVER recurs, so
+    # prompt-lookup can never draft for that row)
+    p = jax.tree.map(lambda x: x, params)
+    D, V = CFG.llama.hidden_size, CFG.llama.vocab_size
+    emb = np.asarray(params["llama"]["embed"]["embedding"],
+                     np.float32).copy()
+    chain = list(range(300, 361))
+    for t in [111, 222] + chain:
+        emb[t] *= 64.0           # input-dominated residual stream
+    kernel = np.zeros((D, V), np.float32)
+
+    def force(src, dst):
+        kernel[:, dst] = emb[src] * (5.0 / float(np.dot(emb[src], emb[src])))
+
+    force(222, 111)
+    force(111, 222)
+    for t in chain[:-1]:
+        force(t, t + 1)
+    p["llama"]["embed"] = {"embedding": jnp.asarray(emb)}
+    p["llama"]["lm_head"] = {"kernel": jnp.asarray(kernel)}
+    reqs = [Request(prompt_ids=np.asarray([111, 222] * 4, np.int32),
+                    max_new_tokens=24, uid="echo"),
+            Request(prompt_ids=np.arange(300, 309, dtype=np.int32),
+                    max_new_tokens=24, uid="chain")]
+
+    def run(spec_k):
+        eng = _engine(p, spec_k, n_slots=2, steps_per_sync=2,
+                      max_new_tokens_cap=24)
+        for r in reqs:
+            eng.submit(Request(prompt_ids=r.prompt_ids.copy(),
+                               max_new_tokens=r.max_new_tokens, uid=r.uid))
+        done = _by_uid(eng.run())
+        return done, eng
+
+    plain, _ = run(0)
+    spec, eng = run(4)
+    _assert_same(plain, spec)
+    # the echo row kept speculation paying while it was active: most of its
+    # 24 tokens arrived as accepted drafts (engine-wide zero-accept counters
+    # would have seen mixed evidence)
+    assert eng.spec_accepted > 10
+    rates = eng._row_rate
+    assert rates.max() > 0.5                # the echo row drafts well
+    assert rates.min() < 0.2                # the chain row never does
+    # once the echo row completed, only the chain row remained and the
+    # engine fell back to the plain program — per-row adaptivity in both
+    # directions
+    assert eng._ticks_since_spec > 0
 
 
 # ---- draft-model serving ---------------------------------------------------
@@ -294,12 +357,12 @@ def test_draft_engine_resyncs_after_losing_drafter_state(params):
                 eng.state = eng.state._replace(
                     d_len=jnp.zeros_like(eng.state.d_len))
                 first = False
-        return _by_uid(eng.completed), eng._spec_plain_left
+        return _by_uid(eng.completed), eng._ticks_since_spec
 
     plain, _ = run(0, None, False)
-    spec, plain_left = run(6, (p["llama"], CFG.llama), True)
+    spec, ticks_since_spec = run(6, (p["llama"], CFG.llama), True)
     _assert_same(plain, spec)
-    assert plain_left == 0   # catch-up ticks were not misjudged
+    assert ticks_since_spec == 0   # catch-up ticks were not misjudged
 
 
 # ---- shared-prefix KV reuse -------------------------------------------------
