@@ -80,6 +80,9 @@ def build_cfg():
         mm=MultimodalConfig(num_image_tokens=64),
         train=TrainConfig(max_seq_len=seqlen, batch_size=batch,
                           max_images_per_batch=2 * batch, remat=True,
+                          remat_policy=os.environ.get("BENCH_REMAT",
+                                                      "dots_no_batch"),
+                          ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", 512)),
                           total_steps=1000, learning_rate=1e-5,
                           offload_optimizer=bool(int(os.environ.get("BENCH_OFFLOAD", "0")))),
     )

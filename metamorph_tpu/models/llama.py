@@ -213,6 +213,12 @@ def llama_forward(
             "nothing": jax.checkpoint_policies.nothing_saveable,
             "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             "dots": jax.checkpoint_policies.checkpoint_dots,
+            # also save the flash kernel's (o, lse) so the backward pass does
+            # not re-run the attention forward — +[B,T,H*Dh] bf16 per layer of
+            # residual memory, worth it at long T where attention dominates
+            "dots_no_batch_save_attn": jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("flash_attn_out")),
         }[remat_policy]
         body = jax.checkpoint(body, policy=policy)
 

@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import numpy as np
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -80,8 +81,10 @@ def _fwd_kernel(lengths_ref,  # scalar prefetch [B]
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)            # [BQ, Dh]
-        k = k_ref[0, 0].astype(jnp.float32)            # [BK, Dh]
+        # bf16 matmul inputs + fp32 accumulation: casting inputs to fp32
+        # forces fp32 MXU passes (~4x slower on v5e); softmax stays fp32
+        q = q_ref[0, 0]                                # [BQ, Dh]
+        k = k_ref[0, 0]                                # [BK, Dh]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -101,9 +104,10 @@ def _fwd_kernel(lengths_ref,  # scalar prefetch [B]
         alpha = jnp.exp(m_prev - m_new)                # [BQ, 1]
         l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
 
-        v = v_ref[0, 0].astype(jnp.float32)            # [BK, Dh]
+        v = v_ref[0, 0]                                # [BK, Dh]
         acc[...] = acc[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
         l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
 
@@ -137,25 +141,42 @@ def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
     q_start = iq * block_q
     k_start = jk * block_k
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-    mask = jnp.logical_and(col < length, col <= row)
-    s = jnp.where(mask, s, NEG_INF)
+    v = v_ref[0, 0]
 
-    m_prev = m_i[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-    alpha = jnp.exp(m_prev - m_new)
-    l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-    v = v_ref[0, 0].astype(jnp.float32)
-    acc[...] = acc[...] * alpha + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
-    l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+    # Only the diagonal block needs the causal mask, and only blocks crossing
+    # `length` need the padding mask. The unmasked path skips the iota/
+    # compare/where chain entirely — the kernel is VPU-bound at long T, and
+    # ~(n-1)/n of triangle blocks are fully valid.
+    full = jnp.logical_and(jk != iq, k_start + block_k <= length)
+
+    def _update(s, mask):
+        m_prev = m_i[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        acc[...] = acc[...] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+        l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+
+    @pl.when(full)
+    def _fast():
+        _update(s, None)
+
+    @pl.when(~full)
+    def _masked():
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        mask = jnp.logical_and(col < length, col <= row)
+        _update(jnp.where(mask, s, NEG_INF), mask)
 
     @pl.when(jk == iq)  # last block of this q row
     def _finish():
@@ -220,8 +241,12 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
     group = H // KV
     n_q, n_k = _cdiv(T, block_q), _cdiv(S, block_k)
 
-    if causal and block_q == block_k and T == S and T % block_q == 0:
-        return _fwd_tri(q, k, v, lengths, scale, block_q)
+    # Triangle blocks are clamped to 512: the two-path (masked/full) kernel
+    # carries ~4 [blk, blk] fp32 temporaries on the VMEM stack — 4MB each at
+    # 1024 overflows the 16MB scoped limit; at 512 the whole stack is ~5MB.
+    blk_tri = min(block_q, 512)
+    if causal and T == S and T % blk_tri == 0 and T // blk_tri >= 2:
+        return _fwd_tri(q, k, v, lengths, scale, blk_tri)
 
     grid = (B, H, n_q, n_k)
     kernel = functools.partial(
@@ -268,6 +293,204 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
 # backward kernels (flash2-style recompute from logsumexp)
 # ---------------------------------------------------------------------------
 
+def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
+                       q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                       dlse_ref, dq_ref, dq_acc, *, scale, block):
+    """Causal triangle-grid dq: the grid enumerates only (iq, jk<=iq) block
+    pairs row-major, so dead upper-triangle blocks get neither compute nor
+    DMA (the rectangular grid's @pl.when skips compute but still copies)."""
+    b, t = pl.program_id(0), pl.program_id(2)
+    iq = iq_ref[t]
+    jk = jk_ref[t]
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    length = lengths_ref[b]
+    q_start, k_start = iq * block, jk * block
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    full = jnp.logical_and(jk != iq, k_start + block <= length)
+
+    def _accum(p):
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta + dlse_ref[0, 0]) * scale
+        dq_acc[...] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                           (((1,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(full)
+    def _fast():
+        # fully-valid block: exp(s - lse) is exact without mask construction
+        _accum(jnp.exp(s - lse))
+
+    @pl.when(~full)
+    def _masked():
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        mask = jnp.logical_and(col < length, col <= row)
+        _accum(jnp.where(mask, jnp.exp(s - lse), 0.0))
+
+    @pl.when(jk == iq)
+    def _finish():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel_tri(lengths_ref, jc_ref, ic_ref,
+                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                        dlse_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                        *, scale, block, n_blocks):
+    """Causal triangle-grid dk/dv: column-major enumeration of (jk, iq>=jk)
+    block pairs — each k/v column accumulates over only the q rows that can
+    see it."""
+    b, t = pl.program_id(0), pl.program_id(2)
+    jk = jc_ref[t]
+    iq = ic_ref[t]
+
+    @pl.when(iq == jk)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    length = lengths_ref[b]
+    q_start, k_start = iq * block, jk * block
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    delta = delta_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    full = jnp.logical_and(jk != iq, k_start + block <= length)
+
+    def _accum(p):
+        dv_acc[...] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                           (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta + dlse_ref[0, 0]) * scale
+        dk_acc[...] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                           (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(full)
+    def _fast():
+        _accum(jnp.exp(s - lse))
+
+    @pl.when(~full)
+    def _masked():
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        mask = jnp.logical_and(col < length, col <= row)
+        _accum(jnp.where(mask, jnp.exp(s - lse), 0.0))
+
+    @pl.when(iq == n_blocks - 1)
+    def _finish():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
+    """Triangle-grid causal backward (block_q == block_k == block, T == S)."""
+    B, H, T, Dh = q.shape
+    KV = k.shape[1]
+    group = H // KV
+    n = _cdiv(T, block)
+    # row-major (dq accumulates per q row) and column-major (dk/dv per k col)
+    iq_arr = np.asarray([i for i in range(n) for _ in range(i + 1)], np.int32)
+    jk_arr = np.asarray([j for i in range(n) for j in range(i + 1)], np.int32)
+    jc_arr = np.asarray([j for j in range(n) for _ in range(n - j)], np.int32)
+    ic_arr = np.asarray([i for j in range(n) for i in range(j, n)], np.int32)
+    n_tri = len(iq_arr)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_tri, scale=scale, block=block),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, H, n_tri),
+            in_specs=[
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block, Dh),
+                                   lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
+            scratch_shapes=[pltpu.VMEM((block, Dh), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, jnp.asarray(iq_arr), jnp.asarray(jk_arr),
+      q, k, v, do, lse, delta, dlse)
+
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_tri, scale=scale, block=block,
+                          n_blocks=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, H, n_tri),
+            in_specs=[
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h // group, jc[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h // group, jc[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
+                pl.BlockSpec((1, 1, block, 1),
+                             lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h, jc[t], 0)),
+                pl.BlockSpec((1, 1, block, Dh),
+                             lambda b, h, t, L, jc, ic: (b, h, jc[t], 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block, Dh), jnp.float32),
+                            pltpu.VMEM((block, Dh), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype),
+                   jax.ShapeDtypeStruct((B, H, T, Dh), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(lengths, jnp.asarray(jc_arr), jnp.asarray(ic_arr),
+      q, k, v, do, lse, delta, dlse)
+
+    dk = dk_h.reshape(B, KV, group, T, Dh).sum(axis=2).astype(k.dtype)
+    dv = dv_h.reshape(B, KV, group, T, Dh).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv, None
+
+
 def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dlse_ref, dq_ref, dq_acc, *, scale, block_q, block_k, n_k, causal):
     b, h, iq, jk = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
@@ -285,10 +508,10 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0]                       # [BQ, 1]
         delta = delta_ref[0, 0]                   # [BQ, 1]
 
@@ -307,7 +530,8 @@ def _bwd_dq_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         # dlse: cotangent of the logsumexp output (ring-attention combines);
         # d lse_i / d s_ij = p_ij, so it folds into the ds term
         ds = p * (dp - delta + dlse_ref[0, 0]) * scale
-        dq_acc[...] += jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+        dq_acc[...] += jax.lax.dot_general(ds.astype(k.dtype), k,
+                                           (((1,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
     @pl.when(jk == n_k - 1)
@@ -334,10 +558,10 @@ def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0]                       # [BQ, 1]
         delta = delta_ref[0, 0]                   # [BQ, 1]
 
@@ -352,14 +576,16 @@ def _bwd_dkv_kernel(lengths_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref
         p = jnp.where(mask, p, 0.0)
 
         # dV += P^T dO ; dS = P*(dP - delta) ; dK += dS^T Q * scale
-        dv_acc[...] += jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        dv_acc[...] += jax.lax.dot_general(p.astype(do.dtype), do,
+                                           (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         # dlse: cotangent of the logsumexp output (ring-attention combines);
         # d lse_i / d s_ij = p_ij, so it folds into the ds term
         ds = p * (dp - delta + dlse_ref[0, 0]) * scale
-        dk_acc[...] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+        dk_acc[...] += jax.lax.dot_general(ds.astype(q.dtype), q,
+                                           (((0,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
     @pl.when(iq == n_q - 1)
@@ -382,6 +608,13 @@ def _bwd(causal, block_q, block_k, scale_opt, res, g):
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,T,1]
+
+    # Causal same-length case: triangle grid (half the programs, no dead DMA).
+    # Square block, clamped to 512 (see the VMEM-stack note in _fwd).
+    if causal and T == S:
+        blk = min(block_q, block_k, 512)
+        if T % blk == 0 and T // blk >= 2:
+            return _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, blk)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, block_q=block_q,
@@ -454,6 +687,12 @@ def _flash(q, k, v, lengths, causal, block_q, block_k, block_q_bwd,
 def _flash_fwd(q, k, v, lengths, causal, block_q, block_k, scale_opt):
     scale = scale_opt if scale_opt is not None else q.shape[-1] ** -0.5
     o, lse = _fwd(q, k, v, lengths, scale, causal, block_q, block_k)
+    # Residuals tagged for remat policies ("..._save_attn" in models/llama.py):
+    # saving o+lse lets gradient checkpointing skip re-running the forward
+    # kernel in the backward pass (the flash bwd recomputes scores from lse
+    # anyway, so o/lse are the only kernel outputs the VJP needs).
+    o = checkpoint_name(o, "flash_attn_out")
+    lse = checkpoint_name(lse, "flash_attn_out")
     return (o, lse), (q, k, v, lengths, o, lse)
 
 

@@ -75,6 +75,60 @@ def test_backward_parity():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_backward_parity_triangle_grid():
+    """Exercises the triangle-grid causal backward (_bwd_tri): square bwd
+    blocks, T == S, >= 2 blocks per side, plus a padded row."""
+    B, T, H, KV, Dh = 2, 512, 4, 2, 64
+    q, k, v = rand((B, T, H, Dh), 9), rand((B, T, KV, Dh), 10), rand((B, T, KV, Dh), 11)
+    mask = np.zeros((B, T), np.int32)
+    mask[0, :300] = 1
+    mask[1, :512] = 1
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, attn_mask=mask, causal=True,
+                            block_q_bwd=128, block_k_bwd=128)
+        return jnp.sum(o * o * mask[:, :, None, None])
+
+    def loss_ref(q, k, v):
+        o = ref_attention(q, k, v, attn_mask=mask, causal=True)
+        return jnp.sum(o * o * mask[:, :, None, None])
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_remat_save_attn_policy_matches():
+    """dots_no_batch_save_attn must give identical grads to dots_no_batch."""
+    from metamorph_tpu.config import LlamaConfig
+    from metamorph_tpu.models import llama as L
+
+    cfg = LlamaConfig(vocab_size=512, hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_heads=2, num_kv_heads=1, head_dim=64,
+                      rope_scaling=False)
+    params = L.init_llama_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    ids = np.random.default_rng(1).integers(0, 512, (1, 256)).astype(np.int32)
+    mask = jnp.ones((1, 256), jnp.int32)
+    pos = jnp.asarray(np.arange(256, dtype=np.int32)[None])
+    emb = L.embed_tokens(params, jnp.asarray(ids))
+
+    def loss(p, policy):
+        h = L.llama_forward(p, cfg, emb, pos, mask, attn_impl="flash",
+                            remat=True, remat_policy=policy)
+        return jnp.sum(h * h)
+
+    g0 = jax.grad(lambda p: loss(p, "dots_no_batch"))(params)
+    g1 = jax.grad(lambda p: loss(p, "dots_no_batch_save_attn"))(params)
+    for (p0, a), (p1, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(p0))
+
+
 def test_llama_forward_with_flash_matches_xla():
     from metamorph_tpu.config import LlamaConfig
     from metamorph_tpu.models import llama as L
