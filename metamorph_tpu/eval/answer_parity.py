@@ -96,16 +96,22 @@ def fuse_prompt(params, cfg, tokenize: Callable[[str], List[int]],
 
 def our_vqa(params, cfg, tokenize, frames, question: str,
             max_new_tokens: int = 64,
-            forward_only: bool = False) -> Dict[str, Any]:
+            forward_only: bool = False,
+            generate_image: bool = False) -> Dict[str, Any]:
     """Our path: fused prompt -> prompt logits + KV-cache greedy answer ids.
     forward_only skips the greedy decode (logit-cosine-only certification at
-    geometries where an autoregressive loop is impractical on this host)."""
+    geometries where an autoregressive loop is impractical on this host).
+    generate_image certifies the continuous-emission loop: the prompt ends
+    with <image_start> and the decode begins in image mode, returning the 64
+    emitted 1152-d visual embeddings (`metamorph_llama.py:547-574`)."""
     import jax.numpy as jnp
 
+    from metamorph_tpu.constants import DEFAULT_IM_START_TOKEN
     from metamorph_tpu.inference.decode import greedy_decode
     from metamorph_tpu.models import llama as llama_lib
 
-    embeds, _ = fuse_prompt(params, cfg, tokenize, frames, question)
+    q_text = question + ("\n" + DEFAULT_IM_START_TOKEN if generate_image else "")
+    embeds, _ = fuse_prompt(params, cfg, tokenize, frames, q_text)
     T = embeds.shape[1]
     pos = jnp.arange(T, dtype=jnp.int32)[None]
     hidden = llama_lib.llama_forward(params["llama"], cfg.llama, embeds, pos,
@@ -113,14 +119,22 @@ def our_vqa(params, cfg, tokenize, frames, question: str,
     logits = llama_lib.lm_head(params["llama"], cfg.llama, hidden[0])
     if forward_only:
         return {"answer_ids": [], "prompt_logits": np.asarray(logits)}
-    out = greedy_decode(params, cfg, embeds, max_new_tokens=max_new_tokens,
-                        max_images=max(len(frames), 1))
+    K = cfg.mm.num_image_tokens
+    mx = (K + 4) if generate_image else max_new_tokens
+    out = greedy_decode(params, cfg, embeds, max_new_tokens=mx,
+                        max_images=max(len(frames), 1) + int(generate_image),
+                        start_in_image=generate_image)
     n = int(out["n_ids"])
     gen = [int(x) for x in np.asarray(out["ids"][:n])]
     answer_ids = [t for t in gen
                   if t not in LLAMA3_EOS_IDS
                   and t not in (IM_START_TOKEN_ID, IM_END_TOKEN_ID)]
-    return {"answer_ids": answer_ids, "prompt_logits": np.asarray(logits)}
+    result = {"answer_ids": answer_ids, "prompt_logits": np.asarray(logits)}
+    if generate_image:
+        n_img = int(out["n_image_tokens"])
+        result["gen_embeds"] = np.asarray(out["image_embeds"][:n_img],
+                                          np.float32)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -150,7 +164,8 @@ def _torch_projector(params_projector, acts):
 def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
                         tokenize, frames, question: str,
                         max_new_tokens: int = 64,
-                        forward_only: bool = False) -> Dict[str, Any]:
+                        forward_only: bool = False,
+                        generate_image: bool = False) -> Dict[str, Any]:
     """The reference pipeline in torch, sharing OUR weights for the connector:
     SigLIP tower + bilinear 729->K reduction + L2 norm
     (`siglip_encoder.py:138-213`) -> mm_projector -> per-sample splice at the
@@ -162,13 +177,16 @@ def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
 
     from metamorph_tpu.eval.visual_parity import reference_visual_tokens
     from metamorph_tpu.inference.demo import build_prompt
-    from metamorph_tpu.models.metamorph import _proj_acts
+    from metamorph_tpu.models.metamorph import _head_acts, _proj_acts
     from metamorph_tpu.multimodal.mm_utils import (siglip_preprocess,
                                                    tokenizer_image_token)
 
+    from metamorph_tpu.constants import DEFAULT_IM_START_TOKEN
+
     model = LlamaForCausalLM.from_pretrained(
         llama_dir, torch_dtype=torch.float32).eval()
-    prompt = build_prompt(question, len(frames))
+    q_text = question + ("\n" + DEFAULT_IM_START_TOKEN if generate_image else "")
+    prompt = build_prompt(q_text, len(frames))
     ids = tokenizer_image_token(prompt, tokenize)
 
     with torch.no_grad():
@@ -202,6 +220,40 @@ def torch_reference_vqa(llama_dir: str, siglip_dir: str, params, cfg,
 
         if forward_only:
             return {"answer_ids": [], "prompt_logits": logits_prompt}
+        if generate_image:
+            # the reference's image-mode loop (`metamorph_llama.py:547-574`
+            # with decoding=True, :363-377): the post-final-norm hidden of the
+            # newest position goes vision_head -> L2-normalize ->
+            # mm_projector, the projected embed is appended as the next
+            # continuous token, and the 1152-d embed is collected. Entry is
+            # the harness convention (prompt ends with <image_start>, loop
+            # starts in image mode) shared bit-for-bit with our side.
+            proj = _torch_projector(params["projector"], _proj_acts(cfg))
+            head = _torch_projector(params["vision_head"], _head_acts(cfg))
+            K = cfg.mm.num_image_tokens
+            gen_embeds: List[np.ndarray] = []
+            seq = embeds
+            for _ in range(K):
+                h = model.model(inputs_embeds=seq).last_hidden_state[0, -1]
+                z = head(h[None])                         # [1, Dv]
+                if cfg.mm.normalize_vision:
+                    z = z / torch.clamp(z.norm(dim=-1, keepdim=True), min=1e-12)
+                gen_embeds.append(z[0].numpy())
+                nxt = proj(z)[None]                       # [1, 1, D]
+                seq = torch.cat([seq, nxt], dim=1)
+            # after 64 emissions the loop exits image mode; take a few plain
+            # greedy steps so the post-image ids compare too
+            answer_ids = []
+            for _ in range(4):
+                logits = model(inputs_embeds=seq).logits[0, -1]
+                tok = int(torch.argmax(logits))
+                if tok in LLAMA3_EOS_IDS:
+                    break
+                if tok not in (IM_START_TOKEN_ID, IM_END_TOKEN_ID):
+                    answer_ids.append(tok)
+                seq = torch.cat([seq, embed_table(torch.tensor([[tok]]))], dim=1)
+            return {"answer_ids": answer_ids, "prompt_logits": logits_prompt,
+                    "gen_embeds": np.stack(gen_embeds).astype(np.float32)}
         # full-recompute greedy, text-only (stop at image mode like the demo
         # VQA flow; answers are text)
         answer_ids: List[int] = []
@@ -234,11 +286,17 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
     n = exact = norm = 0
     cosines: List[float] = []
     margins: List[float] = []
+    gen_cosines: List[float] = []   # per-token cosine of emitted visual embeds
+    n_gen = 0
+    last_gen_embeds: Optional[np.ndarray] = None
     vqa_acc_sum, n_multi = 0.0, 0
     for row in rows:
         ours = our_fn(row)
         our_text = detokenize(ours["answer_ids"]) if detokenize else " ".join(
             map(str, ours["answer_ids"]))
+        if "gen_embeds" in ours:
+            n_gen += 1
+            last_gen_embeds = ours["gen_embeds"]
         if ref_fn is not None:
             ref = ref_fn(row)
             ref_text = detokenize(ref["answer_ids"]) if detokenize else " ".join(
@@ -246,6 +304,16 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
             cos = logit_cosine(ours["prompt_logits"], ref["prompt_logits"])
             cosines.append(cos["mean"])
             margins.extend(ref.get("margins", []))
+            if "gen_embeds" in ref and "gen_embeds" in ours:
+                a, b = ours["gen_embeds"], ref["gen_embeds"]
+                m = min(len(a), len(b))
+                if len(a) != len(b):
+                    gen_cosines.append(0.0)  # emission-count mismatch = fail
+                if m:
+                    num = (a[:m] * b[:m]).sum(-1)
+                    den = np.maximum(np.linalg.norm(a[:m], axis=-1)
+                                     * np.linalg.norm(b[:m], axis=-1), 1e-12)
+                    gen_cosines.extend((num / den).tolist())
         else:
             ref_text = row.get("answer", "")
         n += 1
@@ -274,6 +342,17 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
         # the argmax; the trained-parity int8 row relies on this)
         result["ref_margin_min"] = float(np.min(margins))
         result["ref_margin_mean"] = float(np.mean(margins))
+    if n_gen:
+        result["n_generation_rows"] = n_gen
+        result["last_gen_embeds_shape"] = (list(last_gen_embeds.shape)
+                                           if last_gen_embeds is not None
+                                           else None)
+    if gen_cosines:
+        # generation-mode parity: cosine per emitted 1152-d visual token
+        # between our KV-cache image-mode loop and the torch full-recompute
+        # reference loop (`metamorph_llama.py:547-574`)
+        result["gen_embed_cosine_mean"] = float(np.mean(gen_cosines))
+        result["gen_embed_cosine_min"] = float(np.min(gen_cosines))
     if cosines:
         result["mean_logit_cosine"] = float(np.mean(cosines))
         result["min_logit_cosine"] = float(np.min(cosines))
@@ -283,7 +362,10 @@ def evaluate_rows(rows: Sequence[Dict[str, Any]], our_fn, ref_fn=None,
         # certified by the logit direction, answer match stays informational
         result["pass"] = (result["min_logit_cosine"] >= cosine_threshold
                           and (cosine_only
-                               or result["normalized_match"] == 1.0))
+                               or result["normalized_match"] == 1.0)
+                          and (not gen_cosines
+                               or result["gen_embed_cosine_min"]
+                               >= cosine_threshold))
         result["criterion"] = ("min_logit_cosine" if cosine_only
                                else "cosine+answers")
     else:
@@ -371,16 +453,25 @@ def main(argv=None):
         params["llama"] = quantize_llama_decode(params["llama"])
 
     def load_frames(row):
-        if not row.get("image"):
+        """Row media: "image" (one path), "images" (list — multi-image
+        prompts), or "video" (file sampled at 1 FPS like the reference demo,
+        `inference/demo.py:29-43`)."""
+        if row.get("video"):
+            from metamorph_tpu.inference.demo import load_frames as lf
+
+            return lf(row["video"], max_frames=4)
+        paths = row.get("images") or ([row["image"]] if row.get("image") else [])
+        if not paths:
             return []
         from PIL import Image
 
-        return [np.asarray(Image.open(row["image"]).convert("RGB"))]
+        return [np.asarray(Image.open(pth).convert("RGB")) for pth in paths]
 
     def our_fn(row):
         return our_vqa(params, cfg, tokenize, load_frames(row),
                        row["question"], args.max_new_tokens,
-                       forward_only=args.forward_only)
+                       forward_only=args.forward_only,
+                       generate_image=bool(row.get("generate")))
 
     ref_fn = None
     if args.torch_reference:
@@ -391,7 +482,8 @@ def main(argv=None):
             return torch_reference_vqa(args.llama, args.siglip, params, cfg,
                                        tokenize, load_frames(row),
                                        row["question"], args.max_new_tokens,
-                                       forward_only=args.forward_only)
+                                       forward_only=args.forward_only,
+                                       generate_image=bool(row.get("generate")))
 
     rows = [json.loads(l) for l in open(args.eval_jsonl) if l.strip()]
     result = evaluate_rows(rows, our_fn, ref_fn, detok, args.cosine_threshold,

@@ -145,7 +145,7 @@ def _advance(params, cfg: MetaMorphConfig, state: DecodeState,
                                              "max_cache_len", "stop_ids",
                                              "do_sample", "temperature", "top_p",
                                              "prefill_attn_impl", "attn_impl",
-                                             "kv_int8"))
+                                             "kv_int8", "start_in_image"))
 def greedy_decode(
     params: Any,
     cfg: MetaMorphConfig,
@@ -167,6 +167,14 @@ def greedy_decode(
                                      # decode kernel (ops/decode_attention.py)
     kv_int8: bool = False,           # int8 KV cache (half the cache's HBM
                                      # traffic; ops/quant.quantize_kv scheme)
+    start_in_image: bool = False,    # parity-harness convention: treat the
+                                     # prompt's final token as an already-
+                                     # consumed <image_start> and begin in
+                                     # image mode — the state machine after
+                                     # entry is identical to organic entry
+                                     # (`metamorph_llama.py:547-574`); used to
+                                     # certify the 64-step continuous-feedback
+                                     # loop deterministically
 ) -> Dict[str, jnp.ndarray]:
     """Returns {"ids": [max_new], "n_ids": (), "image_embeds": [max_images*K, Dv],
     "n_image_tokens": ()}. ids padded with -1."""
@@ -189,7 +197,7 @@ def greedy_decode(
         cache=cache,
         cache_len=jnp.int32(T0),
         next_embed=jnp.zeros((1, 1, D), dtype),
-        in_image=jnp.asarray(False),
+        in_image=jnp.asarray(bool(start_in_image)),
         img_count=jnp.int32(0),
         ids=jnp.full((max_new_tokens,), -1, jnp.int32),
         n_ids=jnp.int32(0),

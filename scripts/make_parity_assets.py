@@ -155,28 +155,70 @@ def write_tokenizer_dir(out):
     fast.save_pretrained(out)
 
 
-def write_eval_rows(out_dir, n_rows, seed, with_images=True):
+def _synth_image(rng, i, img_dir):
+    """Structured synthetic image: gradient + random rectangles."""
     from PIL import Image
 
+    h = w = 384
+    img = np.zeros((h, w, 3), np.uint8)
+    img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None]
+    img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    for _ in range(4):
+        y, x = rng.integers(0, h - 64), rng.integers(0, w - 64)
+        img[y:y + 64, x:x + 64] = rng.integers(0, 255, (3,))
+    path = os.path.join(img_dir, f"img_{i}.png")
+    Image.fromarray(img).save(path)
+    return path
+
+
+def _synth_video(rng, img_dir, seconds=3, fps=4):
+    """Short synthetic video (moving square over a gradient) — exercises the
+    1-FPS frame-sampling path (`inference/demo.py:29-43`)."""
+    import cv2
+
+    h = w = 256
+    path = os.path.join(img_dir, "vid_0.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    base = np.zeros((h, w, 3), np.uint8)
+    base[..., 2] = np.linspace(0, 255, w, dtype=np.uint8)[None]
+    n = seconds * fps
+    for t in range(n):
+        fr = base.copy()
+        x = int((w - 48) * t / max(n - 1, 1))
+        fr[96:144, x:x + 48] = (255, 255, 0)
+        vw.write(fr)
+    vw.release()
+    return path
+
+
+def write_eval_rows(out_dir, n_rows, seed, with_images=True):
+    """>= n_rows mixed-kind parity prompts. Kinds cycle over: text-only,
+    single-image, two-image, three-image, video (1-FPS sampled), and
+    image-GENERATION rows (the continuous-emission loop is certified on these
+    — `inference/demo.py:116-180`, `metamorph_llama.py:547-574`)."""
     rng = np.random.default_rng(seed)
     img_dir = os.path.join(out_dir, "images")
     os.makedirs(img_dir, exist_ok=True)
+    video_path = _synth_video(rng, img_dir) if with_images else None
     rows = []
     for i in range(n_rows):
         row = {"question": " ".join(
             rng.choice(WORDS, size=int(rng.integers(3, 9))).tolist())}
-        if with_images and i % 2 == 0:
-            # structured synthetic image: gradient + random rectangles
-            h = w = 384
-            img = np.zeros((h, w, 3), np.uint8)
-            img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None]
-            img[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
-            for _ in range(4):
-                y, x = rng.integers(0, h - 64), rng.integers(0, w - 64)
-                img[y:y + 64, x:x + 64] = rng.integers(0, 255, (3,))
-            path = os.path.join(img_dir, f"img_{i}.png")
-            Image.fromarray(img).save(path)
-            row["image"] = path
+        kind = i % 6
+        if with_images and kind == 1:
+            row["image"] = _synth_image(rng, i, img_dir)
+        elif with_images and kind == 2:
+            row["images"] = [_synth_image(rng, f"{i}_{j}", img_dir)
+                             for j in range(2)]
+        elif with_images and kind == 3:
+            row["images"] = [_synth_image(rng, f"{i}_{j}", img_dir)
+                             for j in range(3)]
+        elif with_images and kind == 4:
+            row["video"] = video_path
+        elif with_images and kind == 5:
+            row["generate"] = True
+            if i % 2 == 1:
+                row["image"] = _synth_image(rng, i, img_dir)  # image-conditioned
         rows.append(row)
     path = os.path.join(out_dir, "eval.jsonl")
     with open(path, "w") as f:

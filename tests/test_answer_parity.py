@@ -107,3 +107,38 @@ def test_full_model_answer_parity(assets):
     assert result["normalized_match"] == 1.0
     assert result["pass"] is True
     json.dumps(result)  # one-line JSON serializable
+
+
+def test_generation_mode_parity(assets):
+    """Image-GENERATION parity: both sides run the continuous-emission loop
+    (vision_head -> L2-norm -> projector feedback) from a forced image-mode
+    start and the emitted K visual embeddings must match (cosine >= 0.99) —
+    the `metamorph_llama.py:547-574` / `:363-377` loop under our KV cache vs
+    the torch full-recompute loop."""
+    d, cfg, params = assets
+    img = np.random.default_rng(5).integers(0, 256, (40, 50, 3)).astype(np.uint8)
+    rows = [
+        {"frames": [], "question": "draw me something", "generate": True},
+        {"frames": [img], "question": "make a similar image", "generate": True},
+        {"frames": [img, img], "question": "compare these two pictures"},
+    ]
+
+    def our_fn(row):
+        return our_vqa(params, cfg, fake_tokenize, row["frames"],
+                       row["question"], max_new_tokens=5,
+                       generate_image=bool(row.get("generate")))
+
+    def ref_fn(row):
+        return torch_reference_vqa(str(d / "llama"), str(d / "siglip"),
+                                   params, cfg, fake_tokenize, row["frames"],
+                                   row["question"], max_new_tokens=5,
+                                   generate_image=bool(row.get("generate")))
+
+    result = evaluate_rows(rows, our_fn, ref_fn)
+    assert result["n"] == 3
+    assert result["n_generation_rows"] == 2
+    assert result["gen_embed_cosine_min"] >= 0.99, result
+    assert result["last_gen_embeds_shape"] == [cfg.mm.num_image_tokens,
+                                               cfg.siglip.hidden_size]
+    assert result["pass"] is True, result
+    json.dumps(result)
