@@ -217,8 +217,8 @@ def write_eval_rows(out_dir, n_rows, seed, with_images=True):
             row["video"] = video_path
         elif with_images and kind == 5:
             row["generate"] = True
-            if i % 2 == 1:
-                row["image"] = _synth_image(rng, i, img_dir)  # image-conditioned
+            if (i // 6) % 2 == 1:   # alternate text-only / image-conditioned
+                row["image"] = _synth_image(rng, i, img_dir)
         rows.append(row)
     path = os.path.join(out_dir, "eval.jsonl")
     with open(path, "w") as f:
