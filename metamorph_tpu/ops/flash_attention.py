@@ -20,6 +20,7 @@ Layout: q [B, T, H, Dh], k/v [B, S, KV, Dh] (model layout); kernels run on
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -173,8 +174,10 @@ def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
 
     @pl.when(~full)
     def _masked():
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        # [blk,1] x [1,blk] iotas broadcast in the compare — materializing
+        # two [blk,blk] int32 grids costs 8MB of VMEM stack at blk=1024
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         mask = jnp.logical_and(col < length, col <= row)
         _update(jnp.where(mask, s, NEG_INF), mask)
 
@@ -244,7 +247,8 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
     # Triangle blocks are clamped to 512: the two-path (masked/full) kernel
     # carries ~4 [blk, blk] fp32 temporaries on the VMEM stack — 4MB each at
     # 1024 overflows the 16MB scoped limit; at 512 the whole stack is ~5MB.
-    blk_tri = min(block_q, 512)
+    # FLASH_TRI_BLOCK overrides for tuning experiments.
+    blk_tri = min(block_q, int(os.environ.get("FLASH_TRI_BLOCK", "512")))
     if causal and T == S and T % blk_tri == 0 and T // blk_tri >= 2:
         return _fwd_tri(q, k, v, lengths, scale, blk_tri)
 
