@@ -124,10 +124,22 @@ def _fwd_kernel(lengths_ref,  # scalar prefetch [B]
 
 def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
                     q_ref, k_ref, v_ref, o_ref, lse_ref,
-                    acc, m_i, l_i, *, scale, block_q, block_k):
-    """Causal triangle-grid forward: the grid enumerates only the
-    lower-triangle (iq, jk<=iq) block pairs — dead blocks get neither compute
-    nor DMA (~2x fewer programs than the rectangular causal grid)."""
+                    acc, m_i, l_i, *, block_q, block_k):
+    """Causal triangle-grid forward: the grid enumerates only the block pairs
+    intersecting the lower triangle — dead blocks get neither compute nor DMA
+    (~2x fewer programs than the rectangular causal grid).
+
+    Perf notes (v5e, T=16k, H=10, Dh=128 — the kernel is bound by VMEM
+    traffic of the [BQ,BK] score block through the elementwise passes, NOT
+    by exp: a probe replacing exp with a linear op measured the same time):
+      * q arrives PRE-SCALED by scale*log2(e), so scores live in the log2
+        domain — the per-block `s*scale` multiply and the multiply hidden
+        inside every exp (exp(x) lowers to exp2(x*log2e)) both vanish;
+      * p stays fp32 until the pv matmul (emitting p directly in bf16 to
+        cut traffic measured SLOWER: 33.4 vs 30.3 ms — the kernel is not
+        simply pass-count-bound either);
+      * lse converts back to natural log at finish so the backward/ring
+        contracts are unchanged."""
     b, t = pl.program_id(0), pl.program_id(2)
     iq = iq_ref[t]
     jk = jk_ref[t]
@@ -145,28 +157,29 @@ def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
     v = v_ref[0, 0]
 
-    # Only the diagonal block needs the causal mask, and only blocks crossing
-    # `length` need the padding mask. The unmasked path skips the iota/
-    # compare/where chain entirely — the kernel is VPU-bound at long T, and
-    # ~(n-1)/n of triangle blocks are fully valid.
-    full = jnp.logical_and(jk != iq, k_start + block_k <= length)
+    # Only blocks touching the diagonal need the causal mask, and only blocks
+    # crossing `length` need the padding mask. The unmasked path skips the
+    # iota/compare/where chain entirely — most triangle blocks are fully
+    # valid at long T.
+    full = jnp.logical_and(k_start + block_k <= q_start + 1,
+                           k_start + block_k <= length)
 
     def _update(s, mask):
         m_prev = m_i[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if mask is not None:
             p = jnp.where(mask, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_new = alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True)
         acc[...] = acc[...] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
-        l_i[...] = jnp.broadcast_to(l_new, l_i.shape)
+        m_i[:, :1] = m_new
+        l_i[:, :1] = l_new
 
     @pl.when(full)
     def _fast():
@@ -181,27 +194,37 @@ def _fwd_kernel_tri(lengths_ref, iq_ref, jk_ref,  # scalar prefetch
         mask = jnp.logical_and(col < length, col <= row)
         _update(jnp.where(mask, s, NEG_INF), mask)
 
-    @pl.when(jk == iq)  # last block of this q row
+    # last block of this q row: the k block containing the diagonal
+    @pl.when(jk == ((iq + 1) * block_q - 1) // block_k)
     def _finish():
         l = l_i[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc[...] / l_safe).astype(o_ref.dtype)
-        lse = m_i[:, :1] + jnp.log(l_safe)
+        # back to natural log: lse_e = ln2 * m2 + ln(l)
+        lse = jnp.float32(np.log(2.0)) * m_i[:, :1] + jnp.log(l_safe)
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
 
 
-def _fwd_tri(q, k, v, lengths, scale, block_q):
-    """Triangle-grid causal forward (block_q == block_k, T == S)."""
+def _fwd_tri(q, k, v, lengths, scale, block_q, block_k):
+    """Triangle-grid causal forward (T == S; blocks may be rectangular)."""
     B, H, T, Dh = q.shape
     KV = k.shape[1]
     group = H // KV
-    n = _cdiv(T, block_q)
-    iq_arr = np.asarray([i for i in range(n) for _ in range(i + 1)], np.int32)
-    jk_arr = np.asarray([j for i in range(n) for j in range(i + 1)], np.int32)
+    n_q = _cdiv(T, block_q)
+    # row-major over k blocks whose start precedes the row's causal end
+    iq_arr = np.asarray(
+        [i for i in range(n_q)
+         for _ in range(_cdiv((i + 1) * block_q, block_k))], np.int32)
+    jk_arr = np.asarray(
+        [j for i in range(n_q)
+         for j in range(_cdiv((i + 1) * block_q, block_k))], np.int32)
     n_tri = len(iq_arr)
 
-    kernel = functools.partial(_fwd_kernel_tri, scale=scale,
-                               block_q=block_q, block_k=block_q)
+    # scores in the log2 domain (see _fwd_kernel_tri); fp32 constant fold so
+    # the bf16 rounding is per-element, not a systematic scale bias
+    q = (q.astype(jnp.float32) * (scale * np.log2(np.e))).astype(q.dtype)
+    kernel = functools.partial(_fwd_kernel_tri,
+                               block_q=block_q, block_k=block_k)
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -210,9 +233,9 @@ def _fwd_tri(q, k, v, lengths, scale, block_q):
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, Dh),
                              lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
-                pl.BlockSpec((1, 1, block_q, Dh),
+                pl.BlockSpec((1, 1, block_k, Dh),
                              lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
-                pl.BlockSpec((1, 1, block_q, Dh),
+                pl.BlockSpec((1, 1, block_k, Dh),
                              lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
             ],
             out_specs=[
@@ -244,13 +267,17 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
     group = H // KV
     n_q, n_k = _cdiv(T, block_q), _cdiv(S, block_k)
 
-    # Triangle blocks are clamped to 512: the two-path (masked/full) kernel
-    # carries ~4 [blk, blk] fp32 temporaries on the VMEM stack — 4MB each at
-    # 1024 overflows the 16MB scoped limit; at 512 the whole stack is ~5MB.
-    # FLASH_TRI_BLOCK overrides for tuning experiments.
+    # Triangle q blocks are clamped to 512: the two-path (masked/full) kernel
+    # carries several [BQ, BK] fp32 temporaries on the VMEM stack — square
+    # 1024 blocks overflow the 16MB scoped limit. FLASH_TRI_BLOCK[_K]
+    # override for tuning experiments.
     blk_tri = min(block_q, int(os.environ.get("FLASH_TRI_BLOCK", "512")))
-    if causal and T == S and T % blk_tri == 0 and T // blk_tri >= 2:
-        return _fwd_tri(q, k, v, lengths, scale, blk_tri)
+    blk_tri_k = min(S, int(os.environ.get("FLASH_TRI_BLOCK_K", "1024")))
+    if S % blk_tri_k != 0:
+        blk_tri_k = blk_tri          # square fallback keeps triangle coverage
+    if (causal and T == S and T % blk_tri == 0 and S % blk_tri_k == 0
+            and T // blk_tri >= 2):
+        return _fwd_tri(q, k, v, lengths, scale, blk_tri, blk_tri_k)
 
     grid = (B, H, n_q, n_k)
     kernel = functools.partial(
