@@ -101,15 +101,20 @@ def rope_tables(cfg: LlamaConfig, positions: jnp.ndarray) -> Tuple[jnp.ndarray, 
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh/2]. HF 'half-rotate' convention."""
+    """x: [B, T, H, Dh]; cos/sin: [B, T, Dh/2]. HF 'half-rotate' convention.
+
+    The rotation arithmetic runs in x's dtype (cos/sin tables stay fp32 and
+    cast at the use site) — matching HF, which applies `q*cos +
+    rotate_half(q)*sin` in the activation dtype; the previous fp32 upcast
+    cost ~6 extra [B,T,H,Dh] fp32 passes per layer fwd (and again in the
+    remat recompute) at B=1/T=16k."""
     half = x.shape[-1] // 2
     x1, x2 = x[..., :half], x[..., half:]
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
-    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
-    out1 = xf1 * cos - xf2 * sin
-    out2 = xf2 * cos + xf1 * sin
-    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    out1 = x1 * cos - x2 * sin
+    out2 = x2 * cos + x1 * sin
+    return jnp.concatenate([out1, out2], axis=-1)
 
 
 def _lora_dense(layer: Params, name: str, x, cfg: LlamaConfig):
@@ -145,8 +150,10 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl):
 
 
 def _mlp_block(layer: Params, x, cfg: LlamaConfig):
-    gate = jax.nn.silu(
-        _lora_dense(layer, "w_gate", x, cfg).astype(jnp.float32)).astype(x.dtype)
+    # silu in the activation dtype, as HF LlamaMLP computes it — the explicit
+    # fp32 upcast added two [B,T,F] fp32 passes per layer (repeated in the
+    # remat recompute) without matching the reference any closer
+    gate = jax.nn.silu(_lora_dense(layer, "w_gate", x, cfg))
     up = _lora_dense(layer, "w_up", x, cfg)
     return _lora_dense(layer, "w_down", gate * up, cfg)
 

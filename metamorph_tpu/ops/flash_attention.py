@@ -326,10 +326,16 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
 
 def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                       dlse_ref, dq_ref, dq_acc, *, scale, block):
+                       dq_ref, dq_acc, *, block):
     """Causal triangle-grid dq: the grid enumerates only (iq, jk<=iq) block
     pairs row-major, so dead upper-triangle blocks get neither compute nor
-    DMA (the rectangular grid's @pl.when skips compute but still copies)."""
+    DMA (the rectangular grid's @pl.when skips compute but still copies).
+
+    Log2-domain inputs (see _bwd): q arrives pre-scaled by scale*log2(e), do
+    by scale, lse by log2(e), and delta is (delta - dlse)*scale — so the
+    [blk,blk] `s*scale` multiply, the multiply inside the exp lowering, and
+    the `(dp - delta + dlse) * scale` multiply all vanish. dq is exact:
+    ds = p * (scale*dp - scale*(delta - dlse)) is the true cotangent."""
     b, t = pl.program_id(0), pl.program_id(2)
     iq = iq_ref[t]
     jk = jk_ref[t]
@@ -348,28 +354,28 @@ def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
     delta = delta_ref[0, 0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
     full = jnp.logical_and(jk != iq, k_start + block <= length)
 
     def _accum(p):
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta + dlse_ref[0, 0]) * scale
+        ds = p * (dp - delta)
         dq_acc[...] += jax.lax.dot_general(ds.astype(k.dtype), k,
                                            (((1,), (0,)), ((), ())),
                                            preferred_element_type=jnp.float32)
 
     @pl.when(full)
     def _fast():
-        # fully-valid block: exp(s - lse) is exact without mask construction
-        _accum(jnp.exp(s - lse))
+        # fully-valid block: exp2(s - lse) is exact without mask construction
+        _accum(jnp.exp2(s - lse))
 
     @pl.when(~full)
     def _masked():
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
         mask = jnp.logical_and(col < length, col <= row)
-        _accum(jnp.where(mask, jnp.exp(s - lse), 0.0))
+        _accum(jnp.where(mask, jnp.exp2(s - lse), 0.0))
 
     @pl.when(jk == iq)
     def _finish():
