@@ -452,8 +452,21 @@ def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
     ic_arr = np.asarray([i for j in range(n) for i in range(j, n)], np.int32)
     n_tri = len(iq_arr)
 
+    # Log2-domain pre-scaling for the dq kernel (see _bwd_dq_kernel_tri):
+    #   q' = q * scale*log2(e)     -> s' = log2e * s_nat (scores in log2)
+    #   do' = do * scale           -> dp' = scale * dp_nat
+    #   lse' = lse * log2(e)       -> exp2(s' - lse') == exp(s_nat - lse_nat)
+    #   delta' = (delta - dlse) * scale
+    # so ds = p * (dp' - delta') == p*(dp_nat - delta + dlse)*scale exactly.
+    # fp32 constant fold before the bf16 round-trip (same as _fwd_tri).
+    log2e = np.log2(np.e)
+    q2 = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
+    do2 = (do.astype(jnp.float32) * scale).astype(do.dtype)
+    lse2 = lse * jnp.float32(log2e)
+    delta2 = (delta - dlse) * jnp.float32(scale)
+
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_tri, scale=scale, block=block),
+        functools.partial(_bwd_dq_kernel_tri, block=block),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, H, n_tri),
@@ -470,8 +483,6 @@ def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
                              lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
                 pl.BlockSpec((1, 1, block, 1),
                              lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
-                pl.BlockSpec((1, 1, block, 1),
-                             lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, block, Dh),
                                    lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
@@ -482,7 +493,7 @@ def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
     )(lengths, jnp.asarray(iq_arr), jnp.asarray(jk_arr),
-      q, k, v, do, lse, delta, dlse)
+      q2, k, v, do2, lse2, delta2)
 
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_tri, scale=scale, block=block,
@@ -761,7 +772,15 @@ def flash_attention(
     """Model-layout wrapper. Returns [B, T, H, Dh]. Default block sizes tuned
     on v5e at the 8B attention shapes (T=4096, H=32, KV=8, Dh=128): fwd+bwd
     9.3 ms vs 34.7 ms for the XLA path (3.7x); 1024-blocks beat 512 by ~10%
-    and also hold at T=2048 (blocks are min()-clamped to T)."""
+    and also hold at T=2048 (blocks are min()-clamped to T).
+
+    NOTE on the causal T==S fast path: when the triangle-grid kernels apply
+    (T % tri_block == 0 with >= 2 blocks per side), the block arguments above
+    are NOT used directly — the triangle forward uses
+    min(block_q, $FLASH_TRI_BLOCK [512]) x $FLASH_TRI_BLOCK_K [1024] and the
+    triangle backward uses min(block_q_bwd, block_k_bwd, 512) square blocks
+    (VMEM-stack limits; see _fwd). Tune the triangle path via those env vars
+    (scripts/sweep_flash_block.py does)."""
     B, T, H, Dh = q.shape
     S = k.shape[1]
     if attn_mask is None:

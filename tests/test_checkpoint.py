@@ -78,7 +78,10 @@ def test_hf_export_import_roundtrip(tmp_path, params):
     assert_trees_equal(llama, params["llama"])
     head = mlp_params_from_hf(tensors, "vision_head", dtype=jnp.float32)
     assert_trees_equal(head, params["vision_head"])
-    cfg2 = MetaMorphConfig.from_json(open(os.path.join(out, "config.json")).read())
+    # export_hf writes HF-LlamaForCausalLM layout to config.json; the typed
+    # framework config lives in metamorph_config.json (checkpoint.py:249)
+    cfg2 = MetaMorphConfig.from_json(
+        open(os.path.join(out, "metamorph_config.json")).read())
     assert cfg2.llama == CFG.llama
 
 

@@ -53,6 +53,27 @@ def test_forward_padding():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_forward_padding_triangle_grid(monkeypatch):
+    """Exercises _fwd_kernel_tri's masked branch and length guard: small tri
+    blocks (so T=512 yields >= 2 blocks and takes the triangle path) with a
+    padded row whose length is not block-aligned, plus rectangular blocks."""
+    B, T, H, KV, Dh = 2, 512, 4, 2, 64
+    q, k, v = rand((B, T, H, Dh), 12), rand((B, T, KV, Dh), 13), rand((B, T, KV, Dh), 14)
+    mask = np.zeros((B, T), np.int32)
+    mask[0, :300] = 1           # crosses a 128-block boundary mid-block
+    mask[1, :512] = 1
+    mask = jnp.asarray(mask)
+    ref = ref_attention(q, k, v, attn_mask=mask, causal=True)
+    valid = np.asarray(mask, bool)
+    for bq, bk in [(128, 128), (128, 256)]:
+        monkeypatch.setenv("FLASH_TRI_BLOCK", str(bq))
+        monkeypatch.setenv("FLASH_TRI_BLOCK_K", str(bk))
+        out = flash_attention(q, k, v, attn_mask=mask, causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out)[valid], np.asarray(ref)[valid],
+            rtol=2e-5, atol=2e-5, err_msg=f"tri blocks {bq}x{bk}")
+
+
 def test_backward_parity():
     B, T, H, KV, Dh = 1, 256, 4, 2, 64
     q, k, v = rand((B, T, H, Dh), 6), rand((B, T, KV, Dh), 7), rand((B, T, KV, Dh), 8)

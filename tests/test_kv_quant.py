@@ -183,7 +183,7 @@ def test_serve_kv_int8_chunked_fill_matches_blocking():
     eng2.step()
     eng2.submit(Request(prompt_embeds=long_pe, max_new_tokens=9, uid="x"))
     eng2.step()
-    assert eng2._fill is not None or eng2.slot_uid.count(None) == 0
+    assert eng2._fills or eng2.slot_uid.count(None) == 0
     done = {c.uid: c for c in eng2.run()}
     np.testing.assert_array_equal(done["x"].ids, ref.ids)
 
