@@ -118,7 +118,8 @@ def our_vqa(params, cfg, tokenize, frames, question: str,
                                      jnp.ones((1, T), jnp.int32))
     logits = llama_lib.lm_head(params["llama"], cfg.llama, hidden[0])
     if forward_only:
-        return {"answer_ids": [], "prompt_logits": np.asarray(logits)}
+        return {"answer_ids": [], "prompt_logits": np.asarray(logits,
+                                                              np.float32)}
     K = cfg.mm.num_image_tokens
     mx = (K + 4) if generate_image else max_new_tokens
     out = greedy_decode(params, cfg, embeds, max_new_tokens=mx,
@@ -129,7 +130,8 @@ def our_vqa(params, cfg, tokenize, frames, question: str,
     answer_ids = [t for t in gen
                   if t not in LLAMA3_EOS_IDS
                   and t not in (IM_START_TOKEN_ID, IM_END_TOKEN_ID)]
-    result = {"answer_ids": answer_ids, "prompt_logits": np.asarray(logits)}
+    result = {"answer_ids": answer_ids,
+              "prompt_logits": np.asarray(logits, np.float32)}
     if generate_image:
         n_img = int(out["n_image_tokens"])
         result["gen_embeds"] = np.asarray(out["image_embeds"][:n_img],
@@ -400,6 +402,11 @@ def main(argv=None):
     p.add_argument("--cpu", action="store_true",
                    help="force the JAX CPU backend (numeric parity needs "
                         "fp32 matmuls; TPU defaults fp32 inputs to bf16)")
+    p.add_argument("--bf16", action="store_true",
+                   help="load OUR params in bfloat16 (torch reference stays "
+                        "fp32) — certifies the production activation dtype "
+                        "on-chip: rope/silu in bf16 (models/llama.py:103-160) "
+                        "and MXU bf16 matmuls, vs the fp32 truth")
     args = p.parse_args(argv)
 
     import jax
@@ -418,11 +425,13 @@ def main(argv=None):
     tokenize = lambda s: tok(s).input_ids  # noqa: E731
     detok = lambda ids: tok.decode(ids, skip_special_tokens=True)  # noqa: E731
 
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
+
     if args.model_path:
         from metamorph_tpu.inference.loader import load_pretrained_model
 
         params, cfg = load_pretrained_model(args.model_path,
-                                            dtype=jnp.float32,
+                                            dtype=dt,
                                             hf_siglip_path=args.siglip)
     else:
         import dataclasses
@@ -438,13 +447,13 @@ def main(argv=None):
         if args.llama:  # geometry comes from the HF dir, not the default 8B
             cfg = dataclasses.replace(cfg,
                                       llama=llama_config_from_hf(args.llama))
-        params = init_metamorph_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+        params = init_metamorph_params(jax.random.PRNGKey(0), cfg, dt)
         if args.llama:
             params["llama"] = llama_params_from_hf(
-                load_safetensors_dir(args.llama), cfg.llama, jnp.float32)
+                load_safetensors_dir(args.llama), cfg.llama, dt)
         if args.siglip:
             params["siglip"] = siglip_params_from_hf(
-                load_safetensors_dir(args.siglip), cfg.siglip, jnp.float32)
+                load_safetensors_dir(args.siglip), cfg.siglip, dt)
 
     if args.int8:
         from metamorph_tpu.ops.quant import quantize_llama_decode

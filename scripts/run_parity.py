@@ -205,6 +205,31 @@ def main(argv=None):
 
         phase("logit_parity_8b_geometry", run_8b)
 
+        def run_8b_bf16_tpu():
+            # VERDICT r4 item 5: the round-4 snapshot moved rope/silu to
+            # activation dtype (models/llama.py:103-160) and the flash fwd to
+            # a log2-domain pre-scale — both perturb bf16 rounding. Certify
+            # ON-CHIP: our side loads bf16 params and runs on the default
+            # (TPU) backend, the torch side stays fp32 CPU truth; the bar is
+            # min prompt-logit cosine >= 0.999 at true 8B per-layer geometry.
+            probe = subprocess.run(
+                [py, "-c", "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=300, cwd=REPO)
+            if probe.stdout.strip() == "cpu" or probe.returncode != 0:
+                raise RuntimeError("no accelerator attached — rerun on the "
+                                   "TPU host for the bf16 on-chip row")
+            a8b = ensure_assets(args.workdir, "8b2l", 3, no_images=True)
+            return sh(
+                [py, "-m", "metamorph_tpu.eval.answer_parity",
+                 "--llama", os.path.join(a8b, "llama"),
+                 "--tokenizer", os.path.join(a8b, "tokenizer"),
+                 "--eval-jsonl", os.path.join(a8b, "eval.jsonl"),
+                 "--torch-reference", "--forward-only", "--bf16",
+                 "--cosine-threshold", "0.999"],
+                timeout=14400)
+
+        phase("logit_parity_8b_bf16_tpu", run_8b_bf16_tpu)
+
     passes = [v.get("pass") for k, v in result.items()
               if isinstance(v, dict) and "pass" in v]
     result["all_pass"] = bool(passes) and all(passes)
