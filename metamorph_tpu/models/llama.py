@@ -226,6 +226,16 @@ def llama_forward(
             "dots_no_batch_save_attn": jax.checkpoint_policies.save_from_both_policies(
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 jax.checkpoint_policies.save_only_these_names("flash_attn_out")),
+            # long-context policy: save ONLY the flash kernel's (o, lse) —
+            # the backward recomputes the layer's cheap projections/MLP
+            # matmuls (~1/2 the fwd FLOPs at T=16k) but never re-runs the
+            # quadratic attention forward. At B=1/T=16k/600m this keeps
+            # ~0.5 GB of residuals vs dots_no_batch's ~6.6 GB of dot
+            # outputs, which otherwise pins HBM at 15.75/15.75 GB and
+            # stretches the optimizer tail ~4x with allocator pressure
+            # (measured: scripts/profile_longctx.py vs bench.py step gap).
+            "save_attn_only": jax.checkpoint_policies.save_only_these_names(
+                "flash_attn_out"),
         }[remat_policy]
         body = jax.checkpoint(body, policy=policy)
 

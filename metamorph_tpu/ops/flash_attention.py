@@ -326,10 +326,13 @@ def _fwd(q, k, v, lengths, scale, causal, block_q, block_k):
 
 def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
                        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                       dq_ref, dq_acc, *, block):
-    """Causal triangle-grid dq: the grid enumerates only (iq, jk<=iq) block
-    pairs row-major, so dead upper-triangle blocks get neither compute nor
-    DMA (the rectangular grid's @pl.when skips compute but still copies).
+                       dq_ref, dq_acc, *, block_q, block_k):
+    """Causal triangle-grid dq: the grid enumerates only the (iq, jk) block
+    pairs whose k block starts before the q row's causal end, row-major, so
+    dead upper-triangle blocks get neither compute nor DMA (the rectangular
+    grid's @pl.when skips compute but still copies). Blocks may be
+    rectangular (block_k > block_q mirrors _fwd_kernel_tri: same FLOPs,
+    half the programs, larger dots per MXU dispatch).
 
     Log2-domain inputs (see _bwd): q arrives pre-scaled by scale*log2(e), do
     by scale, lse by log2(e), and delta is (delta - dlse)*scale — so the
@@ -345,7 +348,7 @@ def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
     length = lengths_ref[b]
-    q_start, k_start = iq * block, jk * block
+    q_start, k_start = iq * block_q, jk * block_k
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -355,7 +358,8 @@ def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    full = jnp.logical_and(jk != iq, k_start + block <= length)
+    full = jnp.logical_and(k_start + block_k <= q_start + 1,
+                           k_start + block_k <= length)
 
     def _accum(p):
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -372,12 +376,13 @@ def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
 
     @pl.when(~full)
     def _masked():
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         mask = jnp.logical_and(col < length, col <= row)
         _accum(jnp.where(mask, jnp.exp2(s - lse), 0.0))
 
-    @pl.when(jk == iq)
+    # last k block of this q row: the one containing the diagonal
+    @pl.when(jk == ((iq + 1) * block_q - 1) // block_k)
     def _finish():
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
@@ -385,21 +390,23 @@ def _bwd_dq_kernel_tri(lengths_ref, iq_ref, jk_ref,
 def _bwd_dkv_kernel_tri(lengths_ref, jc_ref, ic_ref,
                         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                         dlse_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                        *, scale, block, n_blocks):
-    """Causal triangle-grid dk/dv: column-major enumeration of (jk, iq>=jk)
-    block pairs — each k/v column accumulates over only the q rows that can
-    see it."""
+                        *, scale, block_q, block_k, n_q):
+    """Causal triangle-grid dk/dv: column-major enumeration of the (jk, iq)
+    block pairs whose q block can see the k column — each k/v column
+    accumulates over only those q rows. Blocks may be rectangular
+    (block_q > block_k: same FLOPs, half the programs)."""
     b, t = pl.program_id(0), pl.program_id(2)
     jk = jc_ref[t]
     iq = ic_ref[t]
 
-    @pl.when(iq == jk)
+    # first q block that reaches this column: its last row >= k_start
+    @pl.when(iq == (jk * block_k) // block_q)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     length = lengths_ref[b]
-    q_start, k_start = iq * block, jk * block
+    q_start, k_start = iq * block_q, jk * block_k
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -409,7 +416,9 @@ def _bwd_dkv_kernel_tri(lengths_ref, jc_ref, ic_ref,
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    full = jnp.logical_and(jk != iq, k_start + block <= length)
+    # mask-free iff every q row in the block is at/below every k col
+    full = jnp.logical_and(q_start >= k_start + block_k - 1,
+                           k_start + block_k <= length)
 
     def _accum(p):
         dv_acc[...] += jax.lax.dot_general(p.astype(do.dtype), do,
@@ -428,29 +437,51 @@ def _bwd_dkv_kernel_tri(lengths_ref, jc_ref, ic_ref,
 
     @pl.when(~full)
     def _masked():
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
-        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        row = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         mask = jnp.logical_and(col < length, col <= row)
         _accum(jnp.where(mask, jnp.exp(s - lse), 0.0))
 
-    @pl.when(iq == n_blocks - 1)
+    @pl.when(iq == n_q - 1)
     def _finish():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
-    """Triangle-grid causal backward (block_q == block_k == block, T == S)."""
+    """Triangle-grid causal backward (T == S). Each pass mirrors the fwd's
+    rectangular blocking along its STREAMING axis: dq (row-major, one q row
+    accumulates across k columns) widens the k block; dk/dv (column-major,
+    one k column accumulates across q rows) heightens the q block — same
+    FLOPs, half the grid programs, one [512, 1024]-class dot per MXU
+    dispatch instead of two square ones (measured faster at T>=8k, same at
+    2k). Falls back to square `block` when T doesn't tile the wide axis."""
     B, H, T, Dh = q.shape
     KV = k.shape[1]
     group = H // KV
-    n = _cdiv(T, block)
-    # row-major (dq accumulates per q row) and column-major (dk/dv per k col)
-    iq_arr = np.asarray([i for i in range(n) for _ in range(i + 1)], np.int32)
-    jk_arr = np.asarray([j for i in range(n) for j in range(i + 1)], np.int32)
-    jc_arr = np.asarray([j for j in range(n) for _ in range(n - j)], np.int32)
-    ic_arr = np.asarray([i for j in range(n) for i in range(j, n)], np.int32)
-    n_tri = len(iq_arr)
+
+    wide = min(int(os.environ.get("FLASH_TRI_BLOCK_BWD_WIDE", "1024")), T)
+    if T % wide or wide < block or T // wide < 4:
+        # short rows: the first q rows see < wide columns, so the widened
+        # k block is mostly dead DMA — the square grid wins below 4 blocks
+        wide = block
+    # dq pass: q rows of `block`, k columns of `wide` (row-major)
+    n_q1 = _cdiv(T, block)
+    iq_arr = np.asarray(
+        [i for i in range(n_q1)
+         for _ in range(_cdiv((i + 1) * block, wide))], np.int32)
+    jk_arr = np.asarray(
+        [j for i in range(n_q1)
+         for j in range(_cdiv((i + 1) * block, wide))], np.int32)
+    # dk/dv pass: k columns of `block`, q rows of `wide` (column-major);
+    # the first q block that reaches column j starts at (j*block)//wide
+    n_k2, n_q2 = _cdiv(T, block), _cdiv(T, wide)
+    jc_arr = np.asarray(
+        [j for j in range(n_k2)
+         for _ in range(n_q2 - (j * block) // wide)], np.int32)
+    ic_arr = np.asarray(
+        [i for j in range(n_k2)
+         for i in range((j * block) // wide, n_q2)], np.int32)
 
     # Log2-domain pre-scaling for the dq kernel (see _bwd_dq_kernel_tri):
     #   q' = q * scale*log2(e)     -> s' = log2e * s_nat (scores in log2)
@@ -466,16 +497,16 @@ def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
     delta2 = (delta - dlse) * jnp.float32(scale)
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_tri, block=block),
+        functools.partial(_bwd_dq_kernel_tri, block_q=block, block_k=wide),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, H, n_tri),
+            grid=(B, H, len(iq_arr)),
             in_specs=[
                 pl.BlockSpec((1, 1, block, Dh),
                              lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
-                pl.BlockSpec((1, 1, block, Dh),
+                pl.BlockSpec((1, 1, wide, Dh),
                              lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
-                pl.BlockSpec((1, 1, block, Dh),
+                pl.BlockSpec((1, 1, wide, Dh),
                              lambda b, h, t, L, iq, jk: (b, h // group, jk[t], 0)),
                 pl.BlockSpec((1, 1, block, Dh),
                              lambda b, h, t, L, iq, jk: (b, h, iq[t], 0)),
@@ -496,25 +527,25 @@ def _bwd_tri(q, k, v, lengths, do, lse, delta, dlse, scale, block):
       q2, k, v, do2, lse2, delta2)
 
     dk_h, dv_h = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_tri, scale=scale, block=block,
-                          n_blocks=n),
+        functools.partial(_bwd_dkv_kernel_tri, scale=scale, block_q=wide,
+                          block_k=block, n_q=n_q2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, H, n_tri),
+            grid=(B, H, len(jc_arr)),
             in_specs=[
-                pl.BlockSpec((1, 1, block, Dh),
+                pl.BlockSpec((1, 1, wide, Dh),
                              lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
                 pl.BlockSpec((1, 1, block, Dh),
                              lambda b, h, t, L, jc, ic: (b, h // group, jc[t], 0)),
                 pl.BlockSpec((1, 1, block, Dh),
                              lambda b, h, t, L, jc, ic: (b, h // group, jc[t], 0)),
-                pl.BlockSpec((1, 1, block, Dh),
+                pl.BlockSpec((1, 1, wide, Dh),
                              lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
-                pl.BlockSpec((1, 1, block, 1),
+                pl.BlockSpec((1, 1, wide, 1),
                              lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
-                pl.BlockSpec((1, 1, block, 1),
+                pl.BlockSpec((1, 1, wide, 1),
                              lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
-                pl.BlockSpec((1, 1, block, 1),
+                pl.BlockSpec((1, 1, wide, 1),
                              lambda b, h, t, L, jc, ic: (b, h, ic[t], 0)),
             ],
             out_specs=[

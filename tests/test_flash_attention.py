@@ -122,6 +122,35 @@ def test_backward_parity_triangle_grid():
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_backward_parity_triangle_rect(monkeypatch):
+    """Exercises the RECTANGULAR triangle backward (wide k blocks in the dq
+    pass, tall q blocks in the dk/dv pass): block=64, wide=256 at T=512
+    satisfies the T//wide >= 4 gate, and the 300-length row crosses a wide
+    block mid-block so both kernels' masked branches run."""
+    monkeypatch.setenv("FLASH_TRI_BLOCK_BWD_WIDE", "256")
+    B, T, H, KV, Dh = 2, 512, 4, 2, 64
+    q, k, v = rand((B, T, H, Dh), 20), rand((B, T, KV, Dh), 21), rand((B, T, KV, Dh), 22)
+    mask = np.zeros((B, T), np.int32)
+    mask[0, :300] = 1
+    mask[1, :512] = 1
+    mask = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, attn_mask=mask, causal=True,
+                            block_q_bwd=64, block_k_bwd=64)
+        return jnp.sum(o * o * mask[:, :, None, None])
+
+    def loss_ref(q, k, v):
+        o = ref_attention(q, k, v, attn_mask=mask, causal=True)
+        return jnp.sum(o * o * mask[:, :, None, None])
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_remat_save_attn_policy_matches():
     """dots_no_batch_save_attn must give identical grads to dots_no_batch."""
     from metamorph_tpu.config import LlamaConfig
