@@ -20,6 +20,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from metamorph_tpu.config import LlamaConfig
 from metamorph_tpu.ops.attention import attention
@@ -144,6 +145,12 @@ def _attn_block(layer: Params, cfg: LlamaConfig, x, cos, sin, mask, attn_impl):
     v = _lora_dense(layer, "wv", x, cfg).reshape(B, T, KV, Dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    # named for the save_attn_qkv remat policy (llama_forward): saving the
+    # post-rope tensors lets the backward feed the flash bwd kernels without
+    # re-running the qkv projections or rope
+    q = checkpoint_name(q, "qkv_rope")
+    k = checkpoint_name(k, "qkv_rope")
+    v = checkpoint_name(v, "qkv_rope")
     out = attention(q, k, v, mask=mask, impl=attn_impl)
     out = out.reshape(B, T, H * Dh)
     return _lora_dense(layer, "wo", out, cfg), (k, v)
@@ -236,6 +243,16 @@ def llama_forward(
             # (measured: scripts/profile_longctx.py vs bench.py step gap).
             "save_attn_only": jax.checkpoint_policies.save_only_these_names(
                 "flash_attn_out"),
+            # the long-context middle ground: keep the flash (o, lse) AND
+            # the post-rope q/k/v (~126 MB/layer at B=1/T=16k) so the
+            # backward re-runs neither the quadratic attention forward nor
+            # the qkv projections, while the WIDE [T, F] gate/up outputs
+            # (~336 MB/layer) are recomputed — ~5.7 TF of recompute buys
+            # back ~5 GB of HBM vs dots_no_batch_save_attn, escaping the
+            # allocator-pressure regime where the step runs at a full HBM
+            # arena (measured faster at T=16k; see docs/TRAIN.md)
+            "save_attn_qkv": jax.checkpoint_policies.save_only_these_names(
+                "flash_attn_out", "qkv_rope"),
         }[remat_policy]
         body = jax.checkpoint(body, policy=policy)
 

@@ -44,12 +44,12 @@ MATRIX = {
     "slice_8b_geometry_b2": {"BENCH_MODE": "8b_slice", "BENCH_BATCH": "2"},
     "slice_8b_geometry_l8": {"BENCH_MODE": "8b_slice",
                              "BENCH_SLICE_LAYERS": "8"},
-    # long-context recipe: save the flash (o, lse) so the backward never
-    # re-runs the quadratic attention forward (r5; see docs/TRAIN.md)
+    # long-context recipe: save the flash (o, lse) + post-rope q/k/v and
+    # recompute only the wide MLP matmuls (save_attn_qkv) — the freed ~5 GB
+    # admits B=2 at T=16k, the best measured config (r5; see docs/TRAIN.md)
     "train_600m_longctx_16k_flash": {"BENCH_SEQLEN": "16384",
-                                     "BENCH_BATCH": "1", "BENCH_STEPS": "8",
-                                     "BENCH_REMAT":
-                                         "dots_no_batch_save_attn"},
+                                     "BENCH_BATCH": "2", "BENCH_STEPS": "8",
+                                     "BENCH_REMAT": "save_attn_qkv"},
     "decode_b1_cost_decomposition": {"BENCH_MODE": "decode_decomp"},
     "spec_decode_int8": {"BENCH_MODE": "spec_decode",
                          "BENCH_DECODE_QUANT": "1"},

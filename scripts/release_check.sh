@@ -43,10 +43,14 @@ run_mode() { # name, env...
   fi
 
   if [ "${RELEASE_FAST:-0}" != "1" ]; then
+    # PARITY_OUT: persistent artifact path (e.g. PARITY_r05.json) — the
+    # runner checkpoints per phase, so pointing successive invocations at
+    # the same file resumes instead of re-running completed phases.
+    PARITY_OUT="${PARITY_OUT:-$TMP/parity.json}"
     echo -n '"parity": '
-    if timeout 14400 python scripts/run_parity.py --out "$TMP/parity.json" \
+    if timeout 14400 python scripts/run_parity.py --out "$PARITY_OUT" \
         >"$TMP/parity.log" 2>&1; then
-      cat "$TMP/parity.json"; echo ','
+      cat "$PARITY_OUT"; echo ','
     else
       echo "{\"error\": \"parity failed\", \"log_tail\": \"$(tail -3 "$TMP/parity.log" | tr '"' "'" | tr '\n' ';')\"},"
     fi

@@ -151,8 +151,10 @@ def test_backward_parity_triangle_rect(monkeypatch):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
-def test_remat_save_attn_policy_matches():
-    """dots_no_batch_save_attn must give identical grads to dots_no_batch."""
+@pytest.mark.parametrize("policy", ["dots_no_batch_save_attn",
+                                    "save_attn_only", "save_attn_qkv"])
+def test_remat_save_attn_policy_matches(policy):
+    """Every remat policy must give identical grads to dots_no_batch."""
     from metamorph_tpu.config import LlamaConfig
     from metamorph_tpu.models import llama as L
 
@@ -171,7 +173,7 @@ def test_remat_save_attn_policy_matches():
         return jnp.sum(h * h)
 
     g0 = jax.grad(lambda p: loss(p, "dots_no_batch"))(params)
-    g1 = jax.grad(lambda p: loss(p, "dots_no_batch_save_attn"))(params)
+    g1 = jax.grad(lambda p: loss(p, policy))(params)
     for (p0, a), (p1, b) in zip(
             jax.tree_util.tree_leaves_with_path(g0),
             jax.tree_util.tree_leaves_with_path(g1)):
