@@ -79,7 +79,10 @@ def build_cfg():
         siglip=SiglipConfig(),  # real SO400M tower, frozen
         mm=MultimodalConfig(num_image_tokens=64),
         train=TrainConfig(max_seq_len=seqlen, batch_size=batch,
-                          max_images_per_batch=2 * batch, remat=True,
+                          max_images_per_batch=2 * batch,
+                          # BENCH_REMAT=off disables checkpointing entirely
+                          # (XLA keeps whatever the backward needs)
+                          remat=os.environ.get("BENCH_REMAT") != "off",
                           remat_policy=os.environ.get("BENCH_REMAT",
                                                       "dots_no_batch"),
                           ce_chunk=int(os.environ.get("BENCH_CE_CHUNK", 512)),
@@ -1077,6 +1080,20 @@ def main():
                                          attn_impl=attn_impl), donate_argnums=(0,))
     batch, pixels = build_batch(cfg)
 
+    # BENCH_ACCUM=A: run A microbatches per optimizer step (accum_train_step)
+    # — amortizes the Adam/allocator tail over A x the tokens at long T
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
+    if accum > 1:
+        import dataclasses as _dc
+        from metamorph_tpu.train.train_step import accum_train_step
+        cfg = _dc.replace(cfg, train=_dc.replace(cfg.train,
+                                                 grad_accum_steps=accum))
+        step = jax.jit(functools.partial(accum_train_step, cfg=cfg, tx=tx,
+                                         attn_impl=attn_impl),
+                       donate_argnums=(0,))
+        batch = jax.tree.map(lambda x: jnp.stack([x] * accum), batch)
+        pixels = jnp.stack([pixels] * accum)
+
     t0 = time.time()
     state, metrics = step(state, batch, pixels)
     jax.block_until_ready(metrics["loss"])
@@ -1096,12 +1113,12 @@ def main():
     jax.block_until_ready(jax.tree.leaves(state["params"])[0])
     dt = time.time() - t0
 
-    tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len
+    tokens_per_step = cfg.train.batch_size * cfg.train.max_seq_len * accum
     tok_s_chip = tokens_per_step * n_steps / dt / n_chips
 
     # ---- MFU + 8B projection (BASELINE bar is 3000 tok/s/chip AT 8B) ----
     n_images = 2 * cfg.train.batch_size
-    flops_step = train_step_flops(cfg, n_images)
+    flops_step = train_step_flops(cfg, n_images) * accum
     peak = chip_peak_tflops()
     baseline = 3000.0
     if size == "8b":
