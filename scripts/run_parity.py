@@ -33,7 +33,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def sh(args, timeout):
     """Run, return (rc, last JSON line or raw tail)."""
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND the repo to PYTHONPATH: the ambient path carries the site dir
+    # that registers the TPU backend plugin (sitecustomize) — replacing it
+    # breaks every phase that needs the chip (e.g. logit_parity_8b_bf16_tpu,
+    # train_parity_model) with "Unable to initialize backend 'axon'".
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(args, capture_output=True, text=True, timeout=timeout,
                        env=env, cwd=REPO)
     out = None
