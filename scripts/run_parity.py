@@ -126,17 +126,24 @@ def main(argv=None):
     py = sys.executable
     a300 = ensure_assets(args.workdir, "300m", args.rows)
 
-    def run_bpe():
-        # real byte-level BPE (LLaMA-3-style split regex + ByteLevel +
-        # bos post-processor, trained locally): fuzz the masking round
-        # arithmetic + bos-dedup splice vs a torch-side reimplementation of
-        # the reference (train.py:501-597, mm_utils.py:191-214)
+    def ensure_bpe():
+        # The trained phases need this dir even when the tokenizer_bpe
+        # phase itself is resume-skipped (its result row survives in the
+        # artifact while /tmp does not survive the host).
         bpe = os.path.join(args.workdir, "tokenizer_bpe")
         if not os.path.exists(os.path.join(bpe, "tokenizer.json")):
             rc, res = sh([py, "scripts/make_bpe_tokenizer.py", "--out", bpe],
                          timeout=1800)
             if not os.path.exists(os.path.join(bpe, "tokenizer.json")):
                 raise RuntimeError(f"bpe build failed: {res}")
+        return bpe
+
+    def run_bpe():
+        # real byte-level BPE (LLaMA-3-style split regex + ByteLevel +
+        # bos post-processor, trained locally): fuzz the masking round
+        # arithmetic + bos-dedup splice vs a torch-side reimplementation of
+        # the reference (train.py:501-597, mm_utils.py:191-214)
+        bpe = ensure_bpe()
         return sh([py, "-m", "metamorph_tpu.eval.tokenizer_parity",
                    "--tokenizer", bpe, "--n", "1000"], timeout=3600)
 
@@ -169,7 +176,7 @@ def main(argv=None):
             # weakness. The export is the full HF layout, so this phase
             # ALSO certifies export_hf -> transformers round-trip.
             def go():
-                bpe = os.path.join(args.workdir, "tokenizer_bpe")
+                bpe = ensure_bpe()
                 trained = os.path.join(args.workdir, "300m_trained")
                 marker = os.path.join(trained, "model.safetensors")
                 if not os.path.exists(marker):
@@ -237,7 +244,9 @@ def main(argv=None):
 
     passes = [v.get("pass") for k, v in result.items()
               if isinstance(v, dict) and "pass" in v]
-    result["all_pass"] = bool(passes) and all(passes)
+    errors = [k for k, v in result.items()
+              if isinstance(v, dict) and "error" in v]
+    result["all_pass"] = bool(passes) and all(passes) and not errors
     save()
     print(json.dumps(result))
     return 0 if result["all_pass"] else 1
